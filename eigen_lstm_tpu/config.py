@@ -1,0 +1,125 @@
+"""Typed configuration for the TPU-native Eigen-LSTM rebuild.
+
+The reference hardcodes every hyperparameter as ``const size_t`` in ``main()``
+(``/root/reference/optimized-obsfuscated_versions/lstm_eigen_class_CUDA/lstm.cc:56-75``)
+and switches behavior with compile-time flags (``USE_BLAS``, ``PRECISE_MATH``,
+``GPU_MODE``). The rebuild replaces that with small frozen dataclasses consumed
+by the model / trainer / data layers and a CLI (``eigen_lstm_tpu/cli.py``).
+
+Reference-quirk knobs (each cites where the reference pins the behavior):
+
+* ``cell_variant``: the reference destructively squashes the cell state,
+  ``c_t <- tanh(c_t)``, and carries the *squashed* cell to the next step
+  (root ``lstm.cc:189``; ``lstm_eigen_class/lstm.h:95``;
+  ``class_CUDA/cu_lstm.h:177``). ``"reference"`` reproduces that;
+  ``"standard"`` is the textbook cell (raw cell carried, ``h = o*tanh(c)``).
+* ``loss_mode``: the batched variants count loss only on the final timestep
+  (``class_batch/lstm.cc:308-317``), the segment trainer counts all steps
+  (``lstm_segment.cc:197-206``).
+* ``loss_base``: root trainer uses -log2 p (``lstm.cc:204``), class variants
+  use -ln p (``class/lstm.h:121-122``) while still reporting "bits/char".
+  Metrics here are always reported in bits; this knob only controls the
+  *training* objective scale to match a chosen reference variant.
+* ``forget_bias``: batch/final variants initialize the forget-gate bias to 1,
+  citing Jozefowicz'15 (``class_batch/lstm.cc:80-81``).
+* ``adagrad_eps``: 1e-10 in root ``lstm.cc:25`` and the fused CUDA kernel
+  (``class_CUDA/cu_kernels.cu:202-204``); 1e-4 in ``lstm_eigen_CUDA/lstm.cu:84``.
+* ``warmup_steps``: the final driver holds lr=0 for the first ``50*S``
+  iterations (``class_CUDA/lstm.cc:364-367``).
+* ``reset_std``: fresh-stream h0/c0 init sigma, ranging over
+  {0.1, 0.01, 0.0} across variants (root ``lstm.cc:146-147``,
+  ``class/lstm.cc:86-87``, ``class_CUDA/lstm.cc:45``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float64": jnp.float64}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture + numerics of the stacked char-LSTM LM."""
+
+    vocab: int = 256              # M: byte vocabulary (one-hot dim), root lstm.cc:53
+    hidden: int = 512             # N per layer
+    num_layers: int = 1           # reference is always 1-layer; rebuild supports stacks
+    cell_variant: str = "reference"   # "reference" | "standard" (see module docstring)
+    loss_mode: str = "last"       # "last" | "all"
+    loss_base: str = "e"          # "e" | "2" — training objective log base
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"    # "bfloat16" for MXU mixed precision
+    init_std: float = 0.01        # W,U,Why ~ N(0, 0.01), root lstm.cc:113-115
+    forget_bias: float = 1.0      # class_batch/lstm.cc:80-81
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.cell_variant in ("reference", "standard"), self.cell_variant
+        assert self.loss_mode in ("last", "all"), self.loss_mode
+        assert self.loss_base in ("e", "2"), self.loss_base
+
+    @property
+    def pdtype(self):
+        return _DTYPES[self.param_dtype]
+
+    @property
+    def cdtype(self):
+        return _DTYPES[self.compute_dtype]
+
+    @property
+    def adtype(self):
+        """Accumulation/eltwise dtype: fp32 everywhere except the float64
+        CPU-oracle configuration used by the gradcheck suite."""
+        return jnp.float64 if self.param_dtype == "float64" else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Corpus + batching. Mirrors the stream-cursor scheme of
+    ``class_batch/lstm.cc:150-156,279-302`` (B independent cursors, windows of
+    S bytes, advance by ``stride``) with ``stride=1`` (sliding, batch variant)
+    or ``stride=S`` / ``S//2`` (segment variant, ``lstm_segment.cc:110``)."""
+
+    path: str = "data/alice29.txt"
+    train_percent: float = 0.95   # 95/5 split class_batch/lstm.cc:54-59; 99/1 final
+    batch: int = 128              # B concurrent streams
+    seq: int = 100                # S: truncated-BPTT window
+    stride: Optional[int] = None  # None -> seq (non-overlapping segments, state carry)
+    carry_state: bool = True      # carry h/c across windows (lstm_segment.cc:183-187)
+    reset_std: float = 0.0        # h0/c0 ~ N(0, reset_std) on stream reset
+
+    @property
+    def effective_stride(self) -> int:
+        return self.seq if self.stride is None else self.stride
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + schedule. Adagrad is the reference's only optimizer
+    (root ``lstm.cc:261-272``)."""
+
+    lr: float = 0.1               # root lstm.cc:59
+    adagrad_eps: float = 1e-10    # root lstm.cc:25
+    clip_norm: Optional[float] = None  # global-norm clip; reference has none
+    warmup_steps: int = 0         # lr=0 for this many steps (class_CUDA lstm.cc:364-367)
+    steps: int = 10_000
+    log_every: int = 100          # progress cadence, root lstm.cc:274-279
+    eval_every_s: float = 60.0    # timed eval cadence, class_batch lstm.cc:168
+    eval_chars: int = 100_000     # cap on held-out bytes scored per eval
+    sample_chars: int = 1000      # chars sampled per report, root lstm.cc:293
+    checkpoint_dir: Optional[str] = None
+    superstep: int = 50           # inner jitted steps per host round-trip
+    seed: int = 1234
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Data-parallel mesh. The reference is strictly single-device
+    (SURVEY.md §2.4); DP over ICI is new capability per BASELINE.json."""
+
+    data_axis: str = "data"
+    num_devices: Optional[int] = None  # None -> all local devices

@@ -1,0 +1,233 @@
+"""Stacked character-LSTM language model — TPU-first JAX implementation.
+
+Parity target: the ``LSTM<S>``/``Parameters`` model of the reference
+(``/root/reference/optimized-obsfuscated_versions/lstm_eigen_class_CUDA/lstm.h:114-397``),
+generalized to multi-layer stacks and mixed precision.
+
+TPU-first design decisions (vs the reference's per-timestep GEMM loop):
+
+* The input-to-gate contribution ``W·x_t`` for every timestep is hoisted out
+  of the recurrence: layer 0 consumes byte ids and gathers rows of W
+  (one-hot ⇒ the GEMM *is* a gather, root ``lstm.cc:169``); layers ≥ 1
+  consume the full (S·B, N) hidden sequence of the layer below in one large
+  MXU GEMM. Only the unavoidable ``h_{t-1}·U`` GEMM stays inside the
+  ``lax.scan`` recurrence.
+* State layout is row-major (B, N) / gates (B, 4N) so batch → MXU sublanes,
+  features → lanes (the reference is column-major (4N, B)).
+* The whole S-step forward + loss + BPTT lives under one jit; there is no
+  per-step host↔device traffic (the reference copies the full window H↔D
+  every character step, ``class_CUDA/lstm.cc:274-375`` — its chief
+  inefficiency, SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import cell as cell_ops
+
+LN2 = 0.6931471805599453
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LayerParams:
+    """One LSTM layer. W: (in_dim, 4N) input→gates; U: (N, 4N) recurrent;
+    b: (4N,). Mirrors the reference ``Parameters`` members W/U/b
+    (``class_CUDA/lstm.h:43-60``), transposed for row-major TPU layout."""
+
+    W: jax.Array
+    U: jax.Array
+    b: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LSTMParams:
+    """Full model: stacked layers + softmax head (Why: (N, M), by: (M,)),
+    the reference's five-tensor set {W, U, b, Why, by}
+    (``class_CUDA/lstm.h:43-60``) generalized to ``num_layers``."""
+
+    layers: Tuple[LayerParams, ...]
+    Why: jax.Array
+    by: jax.Array
+
+
+def init_params(cfg: ModelConfig, key: Optional[jax.Array] = None) -> LSTMParams:
+    """W,U,Why ~ N(0, init_std), biases 0, forget-gate bias = ``forget_bias``
+    (root ``lstm.cc:113-115``; ``class_batch/lstm.cc:80-81``). Seeded and
+    reproducible, unlike the reference's per-call ``std::random_device``
+    mt19937 (root ``lstm.cc:370-371``)."""
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    n, m, dt = cfg.hidden, cfg.vocab, cfg.pdtype
+    layers = []
+    for l in range(cfg.num_layers):
+        in_dim = m if l == 0 else n
+        key, kw, ku = jax.random.split(key, 3)
+        W = (jax.random.normal(kw, (in_dim, 4 * n)) * cfg.init_std).astype(dt)
+        U = (jax.random.normal(ku, (n, 4 * n)) * cfg.init_std).astype(dt)
+        b = jnp.zeros((4 * n,), dt)
+        _, _, sf, _ = cell_ops.gate_slices(n)
+        b = b.at[sf].set(jnp.asarray(cfg.forget_bias, dt))
+        layers.append(LayerParams(W, U, b))
+    key, ky = jax.random.split(key)
+    Why = (jax.random.normal(ky, (n, m)) * cfg.init_std).astype(dt)
+    by = jnp.zeros((m,), dt)
+    return LSTMParams(tuple(layers), Why, by)
+
+
+def init_state(
+    cfg: ModelConfig, batch: int, reset_std: float = 0.0, key: Optional[jax.Array] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """(h, c) each (L, B, N). h0,c0 ~ N(0, reset_std); the reference uses
+    sigma ∈ {0.1, 0.01, 0} across variants and 0.0 in the final driver
+    (``class_CUDA/lstm.cc:45,178-179``)."""
+    shape = (cfg.num_layers, batch, cfg.hidden)
+    if reset_std == 0.0 or key is None:
+        z = jnp.zeros(shape, cfg.pdtype)
+        return z, z
+    kh, kc = jax.random.split(key)
+    h = (jax.random.normal(kh, shape) * reset_std).astype(cfg.pdtype)
+    c = (jax.random.normal(kc, shape) * reset_std).astype(cfg.pdtype)
+    return h, c
+
+
+def _scan_layer(
+    layer: LayerParams,
+    xw: jax.Array,          # (S, B, 4N) precomputed x@W contributions
+    h0: jax.Array,          # (B, N)
+    c0: jax.Array,          # (B, N)
+    cfg: ModelConfig,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """scan the recurrence h_t = cell(xw_t + h_{t-1}@U, c_{t-1}).
+
+    The bias is pre-folded into ``xw`` by ``forward`` (it is time-invariant,
+    so folding it into the hoisted x@W GEMM removes an add from the scan).
+    Replaces the hand-rolled C++ timestep loop (root ``lstm.cc:173-209``).
+    Returns (h_seq (S,B,N), (hT, cT)).
+    """
+    n = cfg.hidden
+    U = layer.U
+
+    def step(carry, xw_t):
+        h_prev, c_prev = carry
+        g_pre = xw_t + cell_ops.matmul(h_prev, U, cfg.cdtype)
+        h, c = cell_ops.cell_step(g_pre, c_prev.astype(cfg.adtype), n, cfg.cell_variant)
+        h = h.astype(cfg.pdtype)
+        c = c.astype(cfg.pdtype)
+        return (h, c), h
+
+    (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), xw)
+    return h_seq, (hT, cT)
+
+
+def forward(
+    params: LSTMParams,
+    ids: jax.Array,               # (S, B) int32 byte ids
+    h0: jax.Array,                # (L, B, N)
+    c0: jax.Array,                # (L, B, N)
+    cfg: ModelConfig,
+    cell_fn=None,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Full forward: returns (h_seq of top layer (S,B,N), (hL, cL) stacked).
+
+    ``cell_fn``: optional override for the per-layer sequence recurrence with
+    signature ``(layer, xw, h0, c0, cfg) -> (h_seq, (hT, cT))`` — the hook
+    through which the fused Pallas kernel is swapped in (ops/pallas_cell.py),
+    exactly where the reference swaps Eigen for cuBLAS (SURVEY.md §3.3).
+    """
+    scan_fn = cell_fn or _scan_layer
+    s, b_ = ids.shape
+    x = None
+    h_last, c_last = [], []
+    for l, layer in enumerate(params.layers):
+        if l == 0:
+            # one-hot @ W == row gather of W (root lstm.cc:169)
+            xw = layer.W.astype(cfg.adtype)[ids] + layer.b.astype(cfg.adtype)
+        else:
+            flat = x.reshape(s * b_, -1)
+            xw = cell_ops.matmul(flat, layer.W, cfg.cdtype).reshape(s, b_, -1)
+            xw = xw + layer.b.astype(cfg.adtype)
+        h_seq, (hT, cT) = scan_fn(layer, xw, h0[l], c0[l], cfg)
+        x = h_seq
+        h_last.append(hT)
+        c_last.append(cT)
+    return x, (jnp.stack(h_last), jnp.stack(c_last))
+
+
+def logits_from_h(params: LSTMParams, h: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """y = h @ Why + by (root ``lstm.cc:195``). h: (..., N) -> (..., M)."""
+    flat = h.reshape(-1, h.shape[-1])
+    y = cell_ops.matmul(flat, params.Why, cfg.cdtype) + params.by.astype(cfg.adtype)
+    return y.reshape(*h.shape[:-1], cfg.vocab)
+
+
+def softmax_xent_bits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Per-example cross entropy in *bits*: -log2 p(target), the reference's
+    reported unit (root ``lstm.cc:204,291``). Stabilized by max-subtraction
+    (``class_batch/lstm.h:175``). logits (..., M), targets (...) int."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return nll / LN2
+
+
+def loss_fn(
+    params: LSTMParams,
+    ids: jax.Array,        # (S, B)
+    targets: jax.Array,    # (S, B)
+    h0: jax.Array,
+    c0: jax.Array,
+    cfg: ModelConfig,
+    cell_fn=None,
+) -> Tuple[jax.Array, Tuple[Tuple[jax.Array, jax.Array], jax.Array]]:
+    """Training objective. Returns (loss, ((hL, cL), mean_bits_per_char)).
+
+    ``loss_mode="last"`` counts only t = S-1 (``class_batch/lstm.cc:308-317``);
+    ``"all"`` counts every step (``lstm_segment.cc:197-206``). The objective
+    is scaled to ``loss_base`` (ln vs log2 inconsistency across reference
+    variants, SURVEY.md §2.2 item 7); metrics are always bits.
+    """
+    h_seq, state = forward(params, ids, h0, c0, cfg, cell_fn=cell_fn)
+    if cfg.loss_mode == "last":
+        logits = logits_from_h(params, h_seq[-1], cfg)
+        bits = softmax_xent_bits(logits, targets[-1])
+    else:
+        logits = logits_from_h(params, h_seq, cfg)
+        bits = softmax_xent_bits(logits, targets)
+    mean_bits = jnp.mean(bits)
+    loss = mean_bits if cfg.loss_base == "2" else mean_bits * LN2
+    return loss, (state, mean_bits)
+
+
+def forward_step(
+    params: LSTMParams,
+    ids: jax.Array,        # (B,) int32 — one character per stream
+    h: jax.Array,          # (L, B, N)
+    c: jax.Array,          # (L, B, N)
+    cfg: ModelConfig,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Single-timestep advance — the sampling/eval path
+    (``class_CUDA/lstm.cc:636-654``). Returns (logits (B, M), (h, c))."""
+    x = None
+    hs, cs = [], []
+    for l, layer in enumerate(params.layers):
+        if l == 0:
+            g_in = layer.W.astype(cfg.adtype)[ids]
+        else:
+            g_in = cell_ops.matmul(x, layer.W, cfg.cdtype)
+        g_pre = g_in + cell_ops.matmul(h[l], layer.U, cfg.cdtype) + layer.b.astype(cfg.adtype)
+        hl, cl = cell_ops.cell_step(
+            g_pre, c[l].astype(cfg.adtype), cfg.hidden, cfg.cell_variant
+        )
+        x = hl
+        hs.append(hl.astype(cfg.pdtype))
+        cs.append(cl.astype(cfg.pdtype))
+    logits = logits_from_h(params, x, cfg)
+    return logits, (jnp.stack(hs), jnp.stack(cs))

@@ -1,0 +1,70 @@
+"""Numerical gradient checking — reproduces the reference's core oracle
+(SURVEY.md §4.1): central differences vs jax.grad BPTT, thresholds
+max ≤ 1e-1 / mean ≤ 1e-3 from lstm_eigen_class/lstm.cc:250-304.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eigen_lstm_tpu import ModelConfig
+from eigen_lstm_tpu.models import lstm as model
+from eigen_lstm_tpu.utils.gradcheck import check_gradients
+
+
+@pytest.mark.parametrize("variant", ["reference", "standard"])
+@pytest.mark.parametrize("loss_mode", ["last", "all"])
+def test_gradcheck(x64, variant, loss_mode):
+    cfg = ModelConfig(
+        vocab=12,
+        hidden=6,
+        num_layers=1,
+        cell_variant=variant,
+        loss_mode=loss_mode,
+        param_dtype="float64",
+        compute_dtype="float64",
+        seed=3,
+    )
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(7)
+    s, b = 6, 2
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    h0, c0 = model.init_state(cfg, b)
+    # non-zero initial state exercises the f-gate path
+    h0 = h0 + 0.1
+    c0 = c0 - 0.1
+
+    loss_of = jax.jit(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg)[0])
+    grads = jax.grad(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg)[0])(params)
+    results = check_gradients(loss_of, params, grads, samples_per_tensor=60, seed=0)
+    for name, res in results.items():
+        assert res.passed, f"{name}: max={res.max_rel_err:.3e} mean={res.mean_rel_err:.3e}"
+
+
+def test_gradcheck_stacked(x64):
+    """Multi-layer BPTT gradients (new capability vs the 1-layer reference)."""
+    cfg = ModelConfig(
+        vocab=10,
+        hidden=5,
+        num_layers=2,
+        loss_mode="all",
+        param_dtype="float64",
+        compute_dtype="float64",
+        init_std=0.1,
+        seed=5,
+    )
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (4, 2)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (4, 2)), jnp.int32)
+    h0, c0 = model.init_state(cfg, 2)
+
+    loss_of = jax.jit(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg)[0])
+    grads = jax.grad(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg)[0])(params)
+    results = check_gradients(
+        loss_of, params, grads, samples_per_tensor=40, seed=1, floor=1e-8
+    )
+    for name, res in results.items():
+        assert res.passed, f"{name}: max={res.max_rel_err:.3e} mean={res.mean_rel_err:.3e}"

@@ -1,0 +1,146 @@
+"""Core model tests: shapes, cell variants, loss modes, determinism.
+
+Models the reference's built-in behavioral verification (SURVEY.md §4) as a
+real pytest suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eigen_lstm_tpu import ModelConfig
+from eigen_lstm_tpu.models import lstm as model
+from eigen_lstm_tpu.ops import cell as cell_ops
+
+
+def small_cfg(**kw):
+    base = dict(vocab=16, hidden=8, num_layers=1, seed=0)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def make_batch(cfg, s=5, b=3, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, size=(s, b)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, size=(s, b)), jnp.int32)
+    h0, c0 = model.init_state(cfg, b)
+    return ids, targets, h0, c0
+
+
+def test_shapes_single_layer():
+    cfg = small_cfg()
+    params = model.init_params(cfg)
+    ids, targets, h0, c0 = make_batch(cfg)
+    h_seq, (hT, cT) = model.forward(params, ids, h0, c0, cfg)
+    assert h_seq.shape == (5, 3, cfg.hidden)
+    assert hT.shape == (1, 3, cfg.hidden) and cT.shape == (1, 3, cfg.hidden)
+    loss, ((hL, cL), bits) = model.loss_fn(params, ids, targets, h0, c0, cfg)
+    assert loss.shape == () and bits.shape == ()
+
+
+def test_shapes_stacked():
+    cfg = small_cfg(num_layers=3)
+    params = model.init_params(cfg)
+    ids, targets, h0, c0 = make_batch(cfg)
+    h_seq, (hT, cT) = model.forward(params, ids, h0, c0, cfg)
+    assert h_seq.shape == (5, 3, cfg.hidden)
+    assert hT.shape == (3, 3, cfg.hidden)
+
+
+def test_initial_loss_near_uniform():
+    """With tiny init, initial bits/char ~ log2(vocab) — the behavioral smoke
+    the reference gets from watching its first loss prints."""
+    cfg = small_cfg(vocab=16, loss_mode="all")
+    params = model.init_params(cfg)
+    ids, targets, h0, c0 = make_batch(cfg, s=8, b=4)
+    _, (_, bits) = model.loss_fn(params, ids, targets, h0, c0, cfg)
+    assert abs(float(bits) - 4.0) < 0.3  # log2(16) = 4
+
+
+def test_reference_cell_carries_squashed_cell():
+    """The reference destructively squashes c (root lstm.cc:189): carried cell
+    must equal tanh(raw cell) and h = o * c_carried."""
+    n = 4
+    rng = np.random.default_rng(1)
+    g_pre = jnp.asarray(rng.normal(size=(2, 4 * n)), jnp.float32)
+    c_prev = jnp.asarray(rng.normal(size=(2, n)), jnp.float32)
+    h, c = cell_ops.cell_step(g_pre, c_prev, n, "reference")
+    g = cell_ops.gate_activations(g_pre, n)
+    si, so, sf, su = cell_ops.gate_slices(n)
+    c_raw = g[:, si] * g[:, su] + g[:, sf] * c_prev
+    np.testing.assert_allclose(c, np.tanh(c_raw), rtol=1e-6)
+    np.testing.assert_allclose(h, g[:, so] * np.tanh(c_raw), rtol=1e-6)
+    # standard variant carries the raw cell
+    h2, c2 = cell_ops.cell_step(g_pre, c_prev, n, "standard")
+    np.testing.assert_allclose(c2, c_raw, rtol=1e-6)
+    np.testing.assert_allclose(h2, g[:, so] * np.tanh(c_raw), rtol=1e-6)
+
+
+def test_forget_bias_init():
+    cfg = small_cfg(forget_bias=1.0)
+    params = model.init_params(cfg)
+    _, _, sf, _ = cell_ops.gate_slices(cfg.hidden)
+    b = np.asarray(params.layers[0].b)
+    assert np.all(b[sf] == 1.0)
+    other = np.concatenate([b[: 2 * cfg.hidden], b[3 * cfg.hidden :]])
+    assert np.all(other == 0.0)
+
+
+def test_loss_mode_last_vs_all_differ():
+    cfg_last = small_cfg(loss_mode="last")
+    cfg_all = small_cfg(loss_mode="all")
+    params = model.init_params(cfg_last)
+    ids, targets, h0, c0 = make_batch(cfg_last)
+    l1, _ = model.loss_fn(params, ids, targets, h0, c0, cfg_last)
+    l2, _ = model.loss_fn(params, ids, targets, h0, c0, cfg_all)
+    assert not np.isclose(float(l1), float(l2))
+
+
+def test_loss_base_scaling():
+    """ln-objective = bits-objective * ln2 (SURVEY.md §2.2 item 7)."""
+    cfg_e = small_cfg(loss_base="e")
+    cfg_2 = small_cfg(loss_base="2")
+    params = model.init_params(cfg_e)
+    ids, targets, h0, c0 = make_batch(cfg_e)
+    le, _ = model.loss_fn(params, ids, targets, h0, c0, cfg_e)
+    l2, _ = model.loss_fn(params, ids, targets, h0, c0, cfg_2)
+    np.testing.assert_allclose(float(le), float(l2) * model.LN2, rtol=1e-6)
+
+
+def test_seeded_init_reproducible():
+    """Unlike the reference's random_device-seeded RNG (root lstm.cc:370-371),
+    init is deterministic for a fixed seed."""
+    cfg = small_cfg(seed=42)
+    p1 = model.init_params(cfg)
+    p2 = model.init_params(cfg)
+    np.testing.assert_array_equal(p1.layers[0].W, p2.layers[0].W)
+    np.testing.assert_array_equal(p1.Why, p2.Why)
+
+
+def test_forward_step_matches_scan():
+    """Stepping one char at a time must equal the scanned window forward —
+    the sampler/eval path shares cell math with training."""
+    cfg = small_cfg(num_layers=2)
+    params = model.init_params(cfg)
+    ids, _, h0, c0 = make_batch(cfg, s=6, b=3)
+    h_seq, (hT, cT) = model.forward(params, ids, h0, c0, cfg)
+    h, c = h0, c0
+    for t in range(6):
+        logits, (h, c) = model.forward_step(params, ids[t], h, c, cfg)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(h), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(c), rtol=1e-5, atol=1e-6)
+    # logits of the last step must also agree
+    ref_logits = model.logits_from_h(params, h_seq[-1], cfg)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=1e-5, atol=1e-6)
+
+
+def test_onehot_matmul_equals_gather():
+    """W·onehot(x) == row gather (root lstm.cc:169)."""
+    cfg = small_cfg()
+    params = model.init_params(cfg)
+    ids = jnp.asarray([1, 5, 9], jnp.int32)
+    oh = cell_ops.one_hot(ids, cfg.vocab)
+    via_matmul = oh @ params.layers[0].W
+    via_gather = params.layers[0].W[ids]
+    np.testing.assert_allclose(np.asarray(via_matmul), np.asarray(via_gather), rtol=1e-6)
