@@ -1,0 +1,70 @@
+"""Throughput benchmark: chars/sec + analytic GFLOP/s vs the reference
+baseline (BASELINE.md; driver contract: repo-root ``bench.py`` prints one
+JSON line).
+
+Methodology. The metric is trained chars/sec in segment mode (stride = S:
+every character is trained exactly once per pass, matching the rebuild
+north-star config). The reference baseline for ``vs_baseline`` is the
+single-core Eigen+BLAS path measured at ~4.0 GFLOP/s sustained
+(``lstm_eigen_class_batch/enwik8_small_cpu_1pc.txt`` col 7, BASELINE.md):
+baseline chars/sec at any model size = 4.0e9 / flops_per_trained_char, using
+the same analytic FLOP model for both sides (``metrics.lstm_flops_per_char``,
+mirroring the reference's ``count_flops``, ``class_CUDA/lstm.cc:722-747``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+EIGEN_BLAS_GFLOPS = 4.0  # measured single-core reference throughput
+
+
+def run_benchmark(args) -> Dict[str, Any]:
+    """Benchmark the jitted training superstep. ``args`` is the CLI
+    namespace (see cli.py bench subcommand)."""
+    import jax.numpy as jnp
+
+    from .cli import _configs
+    from .data import corpus as corpus_mod
+    from .ops.dispatch import select_cell_fn
+    from .train import metrics as metrics_mod
+    from .train.trainer import Trainer
+
+    mcfg, dcfg, tcfg = _configs(args)
+    train, _ = corpus_mod.load_dataset(dcfg)
+    cell_fn = select_cell_fn(args.backend, mcfg, dcfg.batch)
+    trainer = Trainer(mcfg, dcfg, tcfg, train, None, cell_fn=cell_fn)
+
+    warmup = max(1, args.warmup_steps // tcfg.superstep)
+    steps = max(1, args.bench_steps // tcfg.superstep)
+
+    for _ in range(warmup):
+        trainer.state, metrics = trainer.superstep(trainer.state)
+    jax.block_until_ready(metrics["bits_mean"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        trainer.state, metrics = trainer.superstep(trainer.state)
+    jax.block_until_ready(metrics["bits_mean"])
+    dt = time.perf_counter() - t0
+
+    chars = steps * trainer.chars_per_superstep()
+    cps = chars / dt
+    fpc = metrics_mod.lstm_flops_per_char(mcfg)
+    gflops = cps * fpc / 1e9
+    mfu = cps * fpc / metrics_mod.TPU_V5E_PEAK_BF16
+    baseline_cps = EIGEN_BLAS_GFLOPS * 1e9 / fpc
+    return {
+        "metric": f"train_chars_per_sec H={mcfg.hidden} B={dcfg.batch} S={dcfg.seq} {mcfg.compute_dtype}",
+        "value": round(cps, 1),
+        "unit": "chars/sec/chip",
+        "vs_baseline": round(cps / baseline_cps, 2),
+        "gflops": round(gflops, 1),
+        "mfu": round(mfu, 4),
+        "train_bpc": round(float(metrics["bits_mean"]), 4),
+        "platform": jax.devices()[0].platform,
+    }

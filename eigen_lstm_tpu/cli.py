@@ -1,0 +1,199 @@
+"""CLI entry point — the runtime config/flag system the reference lacks
+(hyperparameters are hardcoded ``const size_t`` in main(),
+``class_CUDA/lstm.cc:56-75``; SURVEY.md §5 mandates a typed config + CLI).
+
+Usage:
+  python -m eigen_lstm_tpu.cli train  --data PATH [--hidden 512 --batch 128 ...]
+  python -m eigen_lstm_tpu.cli sample --ckpt ckpt.npz --data PATH [--length 1000]
+  python -m eigen_lstm_tpu.cli eval   --ckpt ckpt.npz --data PATH
+  python -m eigen_lstm_tpu.cli bench  --data PATH [--hidden 512 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--hidden", type=int, default=512)
+    p.add_argument("--layers", type=int, default=1)
+    p.add_argument("--vocab", type=int, default=256)
+    p.add_argument("--cell", choices=["reference", "standard"], default="reference")
+    p.add_argument("--loss-mode", choices=["last", "all"], default="all")
+    p.add_argument("--loss-base", choices=["e", "2"], default="e")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
+                   help="matmul compute dtype (params stay fp32)")
+    p.add_argument("--forget-bias", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto",
+                   help="recurrence backend: fused Pallas kernel or XLA scan")
+
+
+def _add_data_args(p: argparse.ArgumentParser):
+    p.add_argument("--data", required=True, help="byte corpus path")
+    p.add_argument("--train-percent", type=float, default=0.95)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--seq", type=int, default=100)
+    p.add_argument("--stride", type=int, default=None,
+                   help="cursor stride (default: seq, i.e. segment mode; 1 = sliding)")
+    p.add_argument("--no-carry", action="store_true",
+                   help="reset h/c each window instead of carrying")
+    p.add_argument("--reset-std", type=float, default=0.0)
+
+
+def _add_train_args(p: argparse.ArgumentParser):
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--adagrad-eps", type=float, default=1e-10)
+    p.add_argument("--clip-norm", type=float, default=None)
+    p.add_argument("--warmup", type=int, default=0)
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--superstep", type=int, default=50)
+    p.add_argument("--log-every", type=int, default=500)
+    p.add_argument("--eval-every-s", type=float, default=60.0)
+    p.add_argument("--eval-chars", type=int, default=100000)
+    p.add_argument("--sample-chars", type=int, default=1000)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--results", type=str, default=None,
+                   help="JSONL results-table path")
+    p.add_argument("--resume", type=str, default=None, help="checkpoint to resume")
+
+
+def _configs(args):
+    from .config import DataConfig, ModelConfig, TrainConfig
+
+    mcfg = ModelConfig(
+        vocab=args.vocab,
+        hidden=args.hidden,
+        num_layers=args.layers,
+        cell_variant=args.cell,
+        loss_mode=args.loss_mode,
+        loss_base=args.loss_base,
+        compute_dtype=args.dtype,
+        forget_bias=args.forget_bias,
+        seed=args.seed,
+    )
+    dcfg = DataConfig(
+        path=args.data,
+        train_percent=args.train_percent,
+        batch=args.batch,
+        seq=args.seq,
+        stride=args.stride,
+        carry_state=not args.no_carry,
+        reset_std=args.reset_std,
+    )
+    tcfg = TrainConfig(
+        lr=args.lr,
+        adagrad_eps=args.adagrad_eps,
+        clip_norm=args.clip_norm,
+        warmup_steps=args.warmup,
+        steps=args.steps,
+        superstep=args.superstep,
+        log_every=args.log_every,
+        eval_every_s=args.eval_every_s,
+        eval_chars=args.eval_chars,
+        sample_chars=args.sample_chars,
+        checkpoint_dir=args.ckpt_dir,
+        seed=args.seed + 1,
+    )
+    return mcfg, dcfg, tcfg
+
+
+def _make_trainer(args):
+    from .data import corpus as corpus_mod
+    from .ops.dispatch import select_cell_fn
+    from .train.trainer import Trainer
+
+    mcfg, dcfg, tcfg = _configs(args)
+    train, test = corpus_mod.load_dataset(dcfg)
+    cell_fn = select_cell_fn(args.backend, mcfg, dcfg.batch)
+    trainer = Trainer(
+        mcfg, dcfg, tcfg, train, test,
+        cell_fn=cell_fn,
+        results_path=getattr(args, "results", None),
+    )
+    if getattr(args, "resume", None):
+        trainer.restore(args.resume)
+        print(f"resumed from {args.resume} at step {trainer.step}", flush=True)
+    return trainer
+
+
+def cmd_train(args):
+    trainer = _make_trainer(args)
+    trainer.run(args.steps)
+    if trainer.test_np is not None and len(trainer.test_np) > 1:
+        bpc = trainer.evaluate()
+        print(f"final test bpc: {bpc:.4f}", flush=True)
+    if args.ckpt_dir:
+        trainer.save(f"{args.ckpt_dir}/ckpt.npz")
+        print(f"saved {args.ckpt_dir}/ckpt.npz", flush=True)
+    if args.sample_chars:
+        print("--- sample ---", flush=True)
+        print(trainer.sample(args.sample_chars), flush=True)
+
+
+def cmd_sample(args):
+    trainer = _make_trainer(args)
+    trainer.restore(args.ckpt)
+    print(trainer.sample(args.length, temperature=args.temperature), flush=True)
+
+
+def cmd_eval(args):
+    trainer = _make_trainer(args)
+    trainer.restore(args.ckpt)
+    bpc = trainer.evaluate(max_chars=args.eval_chars)
+    print(json.dumps({"test_bpc": bpc}), flush=True)
+
+
+def cmd_bench(args):
+    from .bench import run_benchmark
+
+    result = run_benchmark(args)
+    print(json.dumps(result), flush=True)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="eigen_lstm_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train", help="train a char-LSTM LM")
+    _add_model_args(p_train)
+    _add_data_args(p_train)
+    _add_train_args(p_train)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_sample = sub.add_parser("sample", help="generate text from a checkpoint")
+    _add_model_args(p_sample)
+    _add_data_args(p_sample)
+    _add_train_args(p_sample)
+    p_sample.add_argument("--ckpt", required=True)
+    p_sample.add_argument("--length", type=int, default=1000)
+    p_sample.add_argument("--temperature", type=float, default=1.0)
+    p_sample.set_defaults(fn=cmd_sample)
+
+    p_eval = sub.add_parser("eval", help="bits/char on the held-out split")
+    _add_model_args(p_eval)
+    _add_data_args(p_eval)
+    _add_train_args(p_eval)
+    p_eval.add_argument("--ckpt", required=True)
+    p_eval.set_defaults(fn=cmd_eval)
+
+    p_bench = sub.add_parser("bench", help="throughput benchmark")
+    _add_model_args(p_bench)
+    _add_data_args(p_bench)
+    _add_train_args(p_bench)
+    p_bench.add_argument("--bench-steps", type=int, default=200)
+    p_bench.add_argument("--warmup-steps", type=int, default=20)
+    p_bench.set_defaults(fn=cmd_bench)
+
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

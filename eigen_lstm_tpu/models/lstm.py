@@ -91,8 +91,8 @@ def init_state(
     (``class_CUDA/lstm.cc:45,178-179``)."""
     shape = (cfg.num_layers, batch, cfg.hidden)
     if reset_std == 0.0 or key is None:
-        z = jnp.zeros(shape, cfg.pdtype)
-        return z, z
+        # two distinct buffers: h and c may be donated separately under jit
+        return jnp.zeros(shape, cfg.pdtype), jnp.zeros(shape, cfg.pdtype)
     kh, kc = jax.random.split(key)
     h = (jax.random.normal(kh, shape) * reset_std).astype(cfg.pdtype)
     c = (jax.random.normal(kc, shape) * reset_std).astype(cfg.pdtype)

@@ -1,0 +1,48 @@
+"""Recurrence-backend dispatch: fused Pallas kernel vs XLA scan.
+
+Mirrors the reference's Eigen-vs-CUDA backend switch (``__GPU__`` in
+``class_CUDA/lstm.cc``), except selection is a runtime choice validated by
+parity tests instead of a compile-time #ifdef.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from ..config import ModelConfig
+
+
+def pallas_supported(mcfg: ModelConfig, batch: int) -> bool:
+    """The fused kernel holds U (N, 4N) plus per-step blocks in VMEM
+    (~16 MB/core): supported up to N≈1024 fp32. Larger models fall back to
+    the XLA scan until the tiled-U kernel lands."""
+    try:
+        from . import pallas_cell  # noqa: F401
+    except ImportError:
+        return False
+    if jax.devices()[0].platform != "tpu":
+        return False
+    n = mcfg.hidden
+    vmem_u = n * 4 * n * 4  # fp32 bytes
+    return vmem_u <= 8 * 1024 * 1024
+
+
+def select_cell_fn(backend: str, mcfg: ModelConfig, batch: int) -> Optional[object]:
+    """Returns a ``cell_fn`` for ``models.lstm.forward`` or None (XLA scan)."""
+    if backend == "xla":
+        return None
+    if backend in ("auto", "pallas"):
+        ok = pallas_supported(mcfg, batch)
+        if not ok:
+            if backend == "pallas":
+                raise ValueError(
+                    f"pallas backend unsupported for hidden={mcfg.hidden} on "
+                    f"platform {jax.devices()[0].platform}"
+                )
+            return None
+        from .pallas_cell import pallas_scan_layer
+
+        return pallas_scan_layer
+    raise ValueError(f"unknown backend {backend!r}")

@@ -1,0 +1,85 @@
+"""Held-out evaluation: bits/char over a test split.
+
+Reference: ``test(p, testdata)`` runs a *single-stream* forward over the whole
+held-out set accumulating ``-log2 p(next)`` (``class_CUDA/lstm.cc:661-720``).
+
+TPU-native redesign: the test bytes are folded into E parallel streams
+(each a contiguous span of the corpus) and scored by one jitted scan over
+fixed-size chunks with hidden-state carry — identical semantics per stream,
+~E× faster, and exactly the reference semantics at ``eval_batch=1``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models import lstm as model
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "n_chunks"))
+def _score_streams(
+    params: model.LSTMParams,
+    x: jax.Array,        # (T, E) int32 inputs, T = n_chunks * chunk
+    t: jax.Array,        # (T, E) int32 next-byte targets
+    cfg: ModelConfig,
+    chunk: int,
+    n_chunks: int,
+) -> jax.Array:
+    """Sum of -log2 p(target) over all (T, E) positions."""
+    e = x.shape[1]
+    h, c = model.init_state(cfg, e)
+    xc = x.reshape(n_chunks, chunk, e)
+    tc = t.reshape(n_chunks, chunk, e)
+
+    def body(carry, xt):
+        h, c, acc = carry
+        xi, ti = xt
+        h_seq, (h, c) = model.forward(params, xi, h, c, cfg)
+        logits = model.logits_from_h(params, h_seq, cfg)
+        bits = model.softmax_xent_bits(logits, ti)
+        return (h, c, acc + jnp.sum(bits)), None
+
+    (_, _, total), _ = jax.lax.scan(body, (h, c, jnp.float32(0.0)), (xc, tc))
+    return total
+
+
+def evaluate_bpc(
+    params: model.LSTMParams,
+    test_data: np.ndarray,
+    cfg: ModelConfig,
+    eval_batch: int = 16,
+    chunk: int = 128,
+    max_chars: Optional[int] = None,
+) -> float:
+    """bits/char on the held-out split (reference ``test()``, parity at
+    ``eval_batch=1``). ``max_chars`` caps scored bytes for timed evals."""
+    data = test_data
+    if max_chars is not None and len(data) > max_chars + 1:
+        data = data[: max_chars + 1]
+    usable = len(data) - 1
+    if usable < eval_batch * chunk:
+        eval_batch = 1
+        chunk = max(1, min(chunk, usable))
+    span = usable // eval_batch                    # chars scored per stream
+    n_chunks = max(1, span // chunk)
+    span = n_chunks * chunk
+    # stream e covers bytes [e*span0, ...): contiguous spans, like splitting
+    # the reference's single stream into E independent ones
+    starts = np.arange(eval_batch) * (usable // eval_batch)
+    x = np.stack([data[s : s + span] for s in starts], axis=1)       # (T, E)
+    t = np.stack([data[s + 1 : s + span + 1] for s in starts], axis=1)
+    total = _score_streams(
+        params,
+        jnp.asarray(x.astype(np.int32)),
+        jnp.asarray(t.astype(np.int32)),
+        cfg,
+        chunk,
+        n_chunks,
+    )
+    return float(total) / (span * eval_batch)

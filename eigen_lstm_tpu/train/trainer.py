@@ -1,0 +1,281 @@
+"""Training loop — L4 of the reference layer map (SURVEY.md §1), TPU-native.
+
+Reference: epochs × chars loop with per-character window build → forward →
+loss → BPTT → Adagrad → periodic eval/sample/checkpoint/log
+(root ``lstm.cc:142-357``; ``class_CUDA/lstm.cc:167-387``).
+
+TPU-native redesign (the big structural win, SURVEY.md §3.3): the entire
+inner loop — window gather, forward, loss, BPTT, optimizer update, cursor
+advance, stream-state carry/reset — is one jitted ``lax.scan`` over
+``superstep`` inner steps with donated buffers. The host wakes up once per
+superstep for metrics, and on a wall-clock cadence for eval / sample /
+checkpoint (the reference's 60 s / 900 s timed-eval pattern,
+``class_batch/lstm.cc:168-244``, ``class_CUDA/lstm.cc:188-238``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DataConfig, ModelConfig, TrainConfig
+from ..data import corpus as corpus_mod
+from ..models import lstm as model
+from ..models import sampler as sampler_mod
+from . import checkpoint as ckpt_mod
+from . import evaluator as eval_mod
+from . import metrics as metrics_mod
+from . import optimizer as opt_mod
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Everything the jitted superstep carries: parameters, Adagrad
+    accumulators, per-stream recurrent state, data cursors, step counter and
+    RNG key (the reference keeps the analogous state in main()'s locals,
+    ``class_CUDA/lstm.cc:56-165``)."""
+
+    params: model.LSTMParams
+    m: Any                      # Adagrad accumulators (same pytree as params)
+    h: jax.Array                # (L, B, N)
+    c: jax.Array                # (L, B, N)
+    positions: jax.Array        # (B,) int32
+    step: jax.Array             # () int32 — global step
+    key: jax.Array              # PRNG key (stream resets)
+
+
+def make_superstep(
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    tcfg: TrainConfig,
+    corpus: jax.Array,
+    cell_fn=None,
+    donate: bool = True,
+) -> Callable[[TrainState], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jitted K-step training superstep over a device-resident
+    corpus. Returns ``superstep(state) -> (state, metrics)`` where metrics
+    are means over the K inner steps."""
+
+    length = int(corpus.shape[0])
+    stride = dcfg.effective_stride
+    seq = dcfg.seq
+
+    def inner(state: TrainState, _) -> Tuple[TrainState, Tuple[jax.Array, jax.Array]]:
+        x, t = corpus_mod.make_windows(corpus, state.positions, seq)
+        (loss, ((h2, c2), bits)), grads = jax.value_and_grad(
+            model.loss_fn, has_aux=True
+        )(state.params, x, t, state.h, state.c, mcfg, cell_fn)
+        newpos, wrapped = corpus_mod.advance_positions(
+            state.positions, stride, length, seq
+        )
+        if dcfg.carry_state:
+            key, sub = jax.random.split(state.key)
+            mask = wrapped[None, :, None]
+            if dcfg.reset_std > 0.0:
+                kh, kc = jax.random.split(sub)
+                rh = jax.random.normal(kh, h2.shape, h2.dtype) * dcfg.reset_std
+                rc = jax.random.normal(kc, c2.shape, c2.dtype) * dcfg.reset_std
+            else:
+                rh = jnp.zeros_like(h2)
+                rc = jnp.zeros_like(c2)
+            h2 = jnp.where(mask, rh, h2)
+            c2 = jnp.where(mask, rc, c2)
+        else:
+            key = state.key
+            h2 = jnp.zeros_like(state.h)
+            c2 = jnp.zeros_like(state.c)
+        params, m, gnorm = opt_mod.apply_updates(
+            state.params, grads, state.m, state.step, tcfg
+        )
+        new_state = TrainState(
+            params, m, h2, c2, newpos, state.step + 1, key
+        )
+        return new_state, (bits, gnorm)
+
+    def superstep(state: TrainState):
+        state, (bits, gnorms) = jax.lax.scan(
+            inner, state, None, length=tcfg.superstep
+        )
+        metrics = {
+            "bits_mean": jnp.mean(bits),
+            "bits_last": bits[-1],
+            "gnorm_mean": jnp.mean(gnorms),
+        }
+        return state, metrics
+
+    return jax.jit(superstep, donate_argnums=(0,) if donate else ())
+
+
+class Trainer:
+    """Host-side driver: owns the superstep, the timed eval/sample/checkpoint
+    cadence, and the results table (reference L4/L5)."""
+
+    def __init__(
+        self,
+        mcfg: ModelConfig,
+        dcfg: DataConfig,
+        tcfg: TrainConfig,
+        train_data: np.ndarray,
+        test_data: Optional[np.ndarray] = None,
+        cell_fn=None,
+        results_path: Optional[str] = None,
+    ):
+        self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
+        self.train_np = train_data
+        self.test_np = test_data
+        self.corpus = jnp.asarray(train_data)
+        self.superstep = make_superstep(mcfg, dcfg, tcfg, self.corpus, cell_fn)
+        self.meter = metrics_mod.ThroughputMeter(mcfg)
+        self.table = metrics_mod.ResultsTable(results_path)
+        self.state = self._init_state()
+        self.last_metrics: Dict[str, float] = {}
+
+    def _init_state(self) -> TrainState:
+        key = jax.random.PRNGKey(self.tcfg.seed)
+        key, kp, kpos, ks = jax.random.split(key, 4)
+        params = model.init_params(self.mcfg, kp)
+        m = opt_mod.adagrad_init(params)
+        h, c = model.init_state(
+            self.mcfg, self.dcfg.batch, self.dcfg.reset_std, ks
+        )
+        positions = corpus_mod.init_positions(
+            kpos, self.dcfg.batch, len(self.train_np), self.dcfg.seq
+        )
+        return TrainState(
+            params, m, h, c, positions, jnp.asarray(0, jnp.int32), key
+        )
+
+    @property
+    def step(self) -> int:
+        return int(self.state.step)
+
+    def chars_per_superstep(self) -> int:
+        # each inner step trains B streams × stride new characters
+        return self.dcfg.batch * self.dcfg.effective_stride * self.tcfg.superstep
+
+    def run(
+        self,
+        steps: Optional[int] = None,
+        on_report: Optional[Callable[[Dict[str, float]], None]] = None,
+        quiet: bool = False,
+    ) -> Dict[str, float]:
+        """Train for ``steps`` inner steps (rounded up to supersteps)."""
+        total = steps if steps is not None else self.tcfg.steps
+        n_super = max(1, -(-total // self.tcfg.superstep))
+        timer = metrics_mod.Timer()
+        eval_timer = metrics_mod.Timer()
+        chars_done = 0
+        for k in range(n_super):
+            self.state, metrics = self.superstep(self.state)
+            chars_done += self.chars_per_superstep()
+            if (k + 1) % max(1, self.tcfg.log_every // self.tcfg.superstep) == 0 or k == n_super - 1:
+                bits = float(metrics["bits_mean"])
+                cps, gflops, mfu = self.meter.rates(chars_done, timer.elapsed())
+                self.last_metrics = {
+                    "step": float(self.step),
+                    "train_bpc": bits,
+                    "chars_per_sec": cps,
+                    "gflops": gflops,
+                    "mfu": mfu,
+                }
+                if not quiet:
+                    print(
+                        f"step {self.step:>8d}  bpc {bits:6.3f}  "
+                        f"{cps:,.0f} chars/s  {gflops:,.0f} GF/s  mfu {mfu:5.1%}",
+                        flush=True,
+                    )
+                if on_report:
+                    on_report(self.last_metrics)
+            if (
+                self.test_np is not None
+                and eval_timer.elapsed() >= self.tcfg.eval_every_s
+            ):
+                self.report_eval(timer.elapsed(), chars_done, quiet=quiet)
+                eval_timer.start()
+        return self.last_metrics
+
+    def report_eval(self, wall_s: float, chars_done: int, quiet: bool = False):
+        """Timed held-out eval + results row + checkpoint + sample — the
+        reference's every-900 s block (``class_CUDA/lstm.cc:188-238``)."""
+        test_bpc = eval_mod.evaluate_bpc(
+            self.state.params,
+            self.test_np,
+            self.mcfg,
+            max_chars=self.tcfg.eval_chars,
+        )
+        cps, gflops, mfu = self.meter.rates(chars_done, wall_s)
+        row = metrics_mod.ResultRow(
+            idx=len(self.table.rows),
+            step=self.step,
+            chars_trained=chars_done,
+            wall_s=wall_s,
+            train_bpc=self.last_metrics.get("train_bpc", float("nan")),
+            test_bpc=test_bpc,
+            gflops=gflops,
+            chars_per_sec=cps,
+            mfu=mfu,
+        )
+        self.table.append(row)
+        if not quiet:
+            print(
+                f"[eval] step {self.step} test bpc {test_bpc:.3f} "
+                f"(train {row.train_bpc:.3f})",
+                flush=True,
+            )
+        if self.tcfg.checkpoint_dir:
+            self.save(f"{self.tcfg.checkpoint_dir}/ckpt.npz")
+        return row
+
+    def sample(self, length: Optional[int] = None, temperature: float = 1.0) -> str:
+        self.state = dataclasses.replace(
+            self.state, key=jax.random.split(self.state.key)[0]
+        )
+        return sampler_mod.sample_text(
+            self.state.params,
+            self.mcfg,
+            self.state.key,
+            length or self.tcfg.sample_chars,
+            temperature=temperature,
+        )
+
+    def evaluate(self, max_chars: Optional[int] = None) -> float:
+        assert self.test_np is not None, "no test split configured"
+        return eval_mod.evaluate_bpc(
+            self.state.params,
+            self.test_np,
+            self.mcfg,
+            max_chars=max_chars or self.tcfg.eval_chars,
+        )
+
+    def save(self, path: str):
+        ckpt_mod.save_checkpoint(
+            path,
+            self.state.params,
+            self.state.m,
+            self.step,
+            positions=self.state.positions,
+            stream_h=self.state.h,
+            stream_c=self.state.c,
+            rng_key=self.state.key,
+            meta={"hidden": self.mcfg.hidden, "num_layers": self.mcfg.num_layers},
+        )
+
+    def restore(self, path: str):
+        params, m, step, extras = ckpt_mod.load_checkpoint(
+            path, self.state.params, self.state.m
+        )
+        self.state = TrainState(
+            params,
+            m,
+            extras.get("stream_h", self.state.h),
+            extras.get("stream_c", self.state.c),
+            extras.get("positions", self.state.positions),
+            jnp.asarray(step, jnp.int32),
+            extras.get("rng_key", self.state.key),
+        )
