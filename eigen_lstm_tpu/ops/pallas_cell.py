@@ -1,0 +1,259 @@
+"""Fused Pallas TPU kernel for the LSTM sequence recurrence.
+
+This is the rebuild's counterpart of the reference's hand-written CUDA cell
+path (``class_CUDA/cu_lstm.h:162-275`` + ``cu_kernels.cu``), redesigned for
+the TPU memory hierarchy rather than translated:
+
+* The recurrent weight U (N, 4N) is pinned in VMEM for the *entire* S-step
+  sequence (grid over time, constant index_map) — XLA's default while-loop
+  lowering re-streams U from HBM every step, which is the dominant cost at
+  small B. One MXU matmul per step: ``h_{t-1} @ U`` with the σ/tanh/cell
+  epilogue fused in VPU registers/VMEM.
+* The input contribution ``x@W + b`` (``xw``) is precomputed outside as one
+  large MXU GEMM / embedding gather over all S steps (models/lstm.py), so
+  the kernel's sequential part is only what is mathematically sequential.
+* Backward is a custom VJP (reverse-time Pallas kernel): recomputes nothing,
+  reads the saved gates g and cells c, produces dg per step and the carried
+  dh/dc; the weight gradients dU (and dW via the xw cotangent) are batched
+  into single large GEMMs *outside* the kernel where the MXU runs at full
+  tilt — the reference instead does 6 small GEMMs per timestep
+  (``cu_lstm.h:216-275``).
+
+Parity: validated against the pure-jnp oracle (ops/cell.py + models/lstm.py
+scan) to fp32 tolerance — the rebuild's analogue of the reference's
+CPU/GPU lockstep cross-validation (``lstm_eigen_CUDA/lstm.cu:425-496``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModelConfig
+
+
+def _use_interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _fwd_kernel(n, variant, cdtype, U_ref, xw_ref, h0_ref, c0_ref,
+                hseq_ref, cseq_ref, gseq_ref, h_s, c_s):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:].astype(jnp.float32)
+        c_s[:] = c0_ref[:].astype(jnp.float32)
+
+    h_prev = h_s[:]
+    c_prev = c_s[:]
+    g_pre = xw_ref[0] + jnp.dot(
+        h_prev.astype(cdtype), U_ref[:].astype(cdtype),
+        preferred_element_type=jnp.float32,
+    )
+    iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
+    u = jnp.tanh(g_pre[:, 3 * n :])
+    i = iof[:, :n]
+    o = iof[:, n : 2 * n]
+    f = iof[:, 2 * n : 3 * n]
+    c_raw = i * u + f * c_prev
+    if variant == "reference":
+        c_carry = jnp.tanh(c_raw)       # destructive squash, root lstm.cc:189
+        h = o * c_carry
+    else:
+        c_carry = c_raw
+        h = o * jnp.tanh(c_raw)
+    h_s[:] = h
+    c_s[:] = c_carry
+    hseq_ref[0] = h
+    cseq_ref[0] = c_carry
+    gseq_ref[0] = jnp.concatenate([iof, u], axis=-1)
+
+
+def _bwd_kernel(n, s, variant, cdtype, U_ref, gseq_ref, cseq_ref, cprev_ref,
+                c0_ref, dhseq_ref, dhT_ref, dcT_ref,
+                dgseq_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+    t = pl.program_id(0)           # iteration t processes timestep s-1-t
+
+    @pl.when(t == 0)
+    def _():
+        dh_s[:] = dhT_ref[:].astype(jnp.float32)
+        dc_s[:] = dcT_ref[:].astype(jnp.float32)
+
+    g = gseq_ref[0]
+    i = g[:, :n]
+    o = g[:, n : 2 * n]
+    f = g[:, 2 * n : 3 * n]
+    u = g[:, 3 * n :]
+    c_t = cseq_ref[0]
+    is_first_step = t == s - 1     # timestep 0
+    c_prev = jnp.where(is_first_step, c0_ref[:].astype(jnp.float32), cprev_ref[0])
+
+    dh_total = dhseq_ref[0] + dh_s[:]
+    if variant == "reference":
+        # c_t is already tanh-squashed
+        dct = dh_total * o + dc_s[:]
+        dc_raw = dct * (1.0 - c_t * c_t)
+        do = dh_total * c_t
+    else:
+        tc = jnp.tanh(c_t)
+        dc_raw = dh_total * o * (1.0 - tc * tc) + dc_s[:]
+        do = dh_total * tc
+    di = dc_raw * u
+    du = dc_raw * i
+    df = dc_raw * c_prev
+    dgi = di * i * (1.0 - i)
+    dgo = do * o * (1.0 - o)
+    dgf = df * f * (1.0 - f)
+    dgu = du * (1.0 - u * u)
+    dg = jnp.concatenate([dgi, dgo, dgf, dgu], axis=-1)
+    dgseq_ref[0] = dg
+
+    # dh_{t-1} = dg @ U^T  (contract the 4N axis)
+    dh_s[:] = jax.lax.dot_general(
+        dg.astype(cdtype), U_ref[:].astype(cdtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dc_s[:] = dc_raw * f
+    # last-write-wins: after the final iteration these hold d(h0), d(c0)
+    dh0_ref[:] = dh_s[:]
+    dc0_ref[:] = dc_s[:]
+
+
+@functools.lru_cache(maxsize=64)
+def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
+                    interpret: bool):
+    """Build the custom-VJP fused sequence op for static (S, B, N, ...)."""
+    cdtype = jnp.dtype(cdtype_name).type
+    f32 = jnp.float32
+
+    def fwd_call(U, xw, h0, c0):
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, n, variant, cdtype),
+            grid=(s,),
+            in_specs=[
+                pl.BlockSpec((n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, 4 * n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, b, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, 4 * n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((s, b, n), f32),
+                jax.ShapeDtypeStruct((s, b, n), f32),
+                jax.ShapeDtypeStruct((s, b, 4 * n), f32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b, n), f32),
+                pltpu.VMEM((b, n), f32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * s * b * n * 4 * n,
+                bytes_accessed=(
+                    n * 4 * n * 4 + s * b * 4 * n * 4 * 2 + s * b * n * 4 * 2
+                ),
+                transcendentals=s * b * 5 * n,
+            ),
+            interpret=interpret,
+        )(U, xw, h0, c0)
+
+    def bwd_call(U, g_seq, c_seq, c0, dh_seq, dhT, dcT):
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, n, s, variant, cdtype),
+            grid=(s,),
+            in_specs=[
+                pl.BlockSpec((n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, 4 * n), lambda t: (s - 1 - t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, n), lambda t: (s - 1 - t, 0, 0), memory_space=pltpu.VMEM),
+                # c_{t-1}: same array shifted one step back (clamped at 0;
+                # the kernel switches to c0 on the first timestep)
+                pl.BlockSpec((1, b, n), lambda t: (jnp.maximum(s - 2 - t, 0), 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, n), lambda t: (s - 1 - t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, b, 4 * n), lambda t: (s - 1 - t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((s, b, 4 * n), f32),
+                jax.ShapeDtypeStruct((b, n), f32),
+                jax.ShapeDtypeStruct((b, n), f32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b, n), f32),
+                pltpu.VMEM((b, n), f32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * s * b * n * 4 * n,
+                bytes_accessed=(
+                    n * 4 * n * 4 + s * b * 4 * n * 4 * 2 + s * b * n * 4 * 3
+                ),
+                transcendentals=s * b * n,
+            ),
+            interpret=interpret,
+        )(U, g_seq, c_seq, c_seq, c0, dh_seq, dhT, dcT)
+
+    @jax.custom_vjp
+    def fused_seq(U, xw, h0, c0):
+        h_seq, c_seq, _ = fwd_call(U, xw, h0, c0)
+        return h_seq, (h_seq[s - 1], c_seq[s - 1])
+
+    def fused_seq_fwd(U, xw, h0, c0):
+        h_seq, c_seq, g_seq = fwd_call(U, xw, h0, c0)
+        out = (h_seq, (h_seq[s - 1], c_seq[s - 1]))
+        return out, (U, h_seq, c_seq, g_seq, h0, c0)
+
+    def fused_seq_bwd(res, cot):
+        U, h_seq, c_seq, g_seq, h0, c0 = res
+        dh_seq, (dhT, dcT) = cot
+        dg_seq, dh0, dc0 = bwd_call(
+            U, g_seq, c_seq, c0.astype(jnp.float32),
+            dh_seq.astype(jnp.float32),
+            dhT.astype(jnp.float32), dcT.astype(jnp.float32),
+        )
+        # dU = sum_t h_{t-1}^T dg_t — one large MXU GEMM over all steps
+        h_prev = jnp.concatenate([h0[None].astype(jnp.float32), h_seq[:-1]], axis=0)
+        dU = jax.lax.dot_general(
+            h_prev.reshape(s * b, n).astype(cdtype),
+            dg_seq.reshape(s * b, 4 * n).astype(cdtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (
+            dU.astype(U.dtype),
+            dg_seq,                       # d(xw): g_pre = xw + h@U
+            dh0.astype(h0.dtype),
+            dc0.astype(c0.dtype),
+        )
+
+    fused_seq.defvjp(fused_seq_fwd, fused_seq_bwd)
+    return fused_seq
+
+
+def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
+    """Drop-in ``cell_fn`` for ``models.lstm.forward``: same signature and
+    semantics as the XLA ``_scan_layer`` (bias pre-folded into xw)."""
+    s, b, _ = xw.shape
+    n = cfg.hidden
+    fn = _make_fused_seq(
+        s, b, n, cfg.cell_variant, jnp.dtype(cfg.cdtype).name, _use_interpret()
+    )
+    h_seq, (hT, cT) = fn(
+        layer.U, xw.astype(jnp.float32),
+        h0.astype(jnp.float32), c0.astype(jnp.float32),
+    )
+    return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))

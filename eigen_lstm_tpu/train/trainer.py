@@ -194,8 +194,11 @@ class Trainer:
                     on_report(self.last_metrics)
             if (
                 self.test_np is not None
+                and len(self.test_np) > 1
                 and eval_timer.elapsed() >= self.tcfg.eval_every_s
             ):
+                if "train_bpc" not in self.last_metrics:
+                    self.last_metrics["train_bpc"] = float(metrics["bits_mean"])
                 self.report_eval(timer.elapsed(), chars_done, quiet=quiet)
                 eval_timer.start()
         return self.last_metrics
