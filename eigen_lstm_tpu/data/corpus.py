@@ -32,12 +32,14 @@ from ..config import DataConfig
 
 
 def rawread(path: str) -> np.ndarray:
-    """Whole file → uint8 array (root ``lstm.cc:382-420``)."""
-    with open(path, "rb") as f:
-        data = f.read()
+    """Whole file → uint8 array (root ``lstm.cc:382-420``). Uses the native
+    C++ reader when built (utils/native.py), Python IO otherwise."""
+    from ..utils import native
+
+    data = native.read_file(path)
     if len(data) == 0:
         raise ValueError(f"empty corpus: {path}")
-    return np.frombuffer(data, dtype=np.uint8)
+    return data
 
 
 def split(data: np.ndarray, train_percent: float) -> Tuple[np.ndarray, np.ndarray]:

@@ -32,8 +32,11 @@ TENSORS = ("W", "U", "b", "Why", "by")
 
 
 def load_text_matrix(path: str, rows: int, cols: int) -> np.ndarray:
-    """Whitespace-float parse into (rows, cols), mirroring ``io.h:36-74``."""
-    vals = np.loadtxt(path, dtype=np.float64).reshape(-1)
+    """Whitespace-float parse into (rows, cols), mirroring ``io.h:36-74``.
+    Uses the native strtod parser when built (utils/native.py)."""
+    from . import native
+
+    vals = native.parse_floats(path, rows * cols)
     if vals.size != rows * cols:
         raise ValueError(
             f"{path}: expected {rows}x{cols}={rows*cols} values, got {vals.size}"
@@ -43,8 +46,10 @@ def load_text_matrix(path: str, rows: int, cols: int) -> np.ndarray:
 
 def save_text_matrix(path: str, mat: np.ndarray) -> None:
     """Row-per-line whitespace text, as the reference's ``file << m``
-    (``io.h:16-32``)."""
-    np.savetxt(path, np.atleast_2d(mat), fmt="%.10g")
+    (``io.h:16-32``). Native writer when built."""
+    from . import native
+
+    native.write_matrix(path, np.atleast_2d(mat))
 
 
 def load_reference_checkpoint(prefix: str, cfg: ModelConfig) -> LSTMParams:
