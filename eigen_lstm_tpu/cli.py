@@ -58,6 +58,9 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--results", type=str, default=None,
                    help="JSONL results-table path")
     p.add_argument("--resume", type=str, default=None, help="checkpoint to resume")
+    p.add_argument("--gradcheck", action="store_true",
+                   help="run a numerical gradient check before training "
+                        "(reference runs one per epoch, class_batch/lstm.cc:323-337)")
 
 
 def _configs(args):
@@ -121,6 +124,8 @@ def _make_trainer(args):
 
 def cmd_train(args):
     trainer = _make_trainer(args)
+    if args.gradcheck:
+        trainer.gradcheck(samples_per_tensor=50)
     trainer.run(args.steps)
     if trainer.test_np is not None and len(trainer.test_np) > 1:
         bpc = trainer.evaluate()

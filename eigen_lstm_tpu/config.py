@@ -55,12 +55,20 @@ class ModelConfig:
     compute_dtype: str = "float32"    # "bfloat16" for MXU mixed precision
     init_std: float = 0.01        # W,U,Why ~ N(0, 0.01), root lstm.cc:113-115
     forget_bias: float = 1.0      # class_batch/lstm.cc:80-81
+    embedding_mode: str = "onehot"  # "gather" (W[ids]) | "onehot" (1hot @ W GEMM)
+    # The reference's W·x with one-hot x IS a gather (root lstm.cc:169), but
+    # the gather's *backward* is a scatter-add, which lowers poorly on TPU;
+    # "onehot" keeps both directions as MXU GEMMs.
+    remat: bool = False           # rematerialize scan activations in BPTT
+    # (jax.checkpoint over the per-step cell; trades recompute for HBM at
+    # long S / large N — SURVEY.md §7 "Backward memory over S")
     seed: int = 0
 
     def __post_init__(self):
         assert self.cell_variant in ("reference", "standard"), self.cell_variant
         assert self.loss_mode in ("last", "all"), self.loss_mode
         assert self.loss_base in ("e", "2"), self.loss_base
+        assert self.embedding_mode in ("gather", "onehot"), self.embedding_mode
 
     @property
     def pdtype(self):
@@ -106,6 +114,9 @@ class TrainConfig:
     adagrad_eps: float = 1e-10    # root lstm.cc:25
     clip_norm: Optional[float] = None  # global-norm clip; reference has none
     warmup_steps: int = 0         # lr=0 for this many steps (class_CUDA lstm.cc:364-367)
+    skip_nonfinite: bool = True   # skip the update on a non-finite loss —
+    # the reference silently skips NaN losses (cu_lstm.h:210-211); here the
+    # *update* is skipped (grads zeroed) so training state stays clean
     steps: int = 10_000
     log_every: int = 100          # progress cadence, root lstm.cc:274-279
     eval_every_s: float = 60.0    # timed eval cadence, class_batch lstm.cc:168

@@ -124,6 +124,9 @@ def _scan_layer(
         c = c.astype(cfg.pdtype)
         return (h, c), h
 
+    if cfg.remat:
+        # trade recompute for BPTT activation memory at long S / large N
+        step = jax.checkpoint(step)
     (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), xw)
     return h_seq, (hT, cT)
 
@@ -149,8 +152,18 @@ def forward(
     h_last, c_last = [], []
     for l, layer in enumerate(params.layers):
         if l == 0:
-            # one-hot @ W == row gather of W (root lstm.cc:169)
-            xw = layer.W.astype(cfg.adtype)[ids] + layer.b.astype(cfg.adtype)
+            # one-hot @ W == row gather of W (root lstm.cc:169). "onehot"
+            # mode keeps it a GEMM so the backward (dW) is a GEMM too,
+            # instead of a TPU-hostile scatter-add.
+            if cfg.embedding_mode == "onehot":
+                oh = cell_ops.one_hot(ids, cfg.vocab, cfg.cdtype)
+                xw = cell_ops.matmul(
+                    oh.reshape(s * b_, cfg.vocab), layer.W, cfg.cdtype,
+                    cfg.adtype,
+                ).reshape(s, b_, -1)
+                xw = xw + layer.b.astype(cfg.adtype)
+            else:
+                xw = layer.W.astype(cfg.adtype)[ids] + layer.b.astype(cfg.adtype)
         else:
             flat = x.reshape(s * b_, -1)
             xw = cell_ops.matmul(flat, layer.W, cfg.cdtype).reshape(s, b_, -1)

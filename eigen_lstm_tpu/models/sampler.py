@@ -20,7 +20,7 @@ from ..config import ModelConfig
 from . import lstm as model
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "length"))
+@functools.partial(jax.jit, static_argnames=("cfg", "length", "temperature"))
 def sample_ids(
     params: model.LSTMParams,
     cfg: ModelConfig,
@@ -33,13 +33,19 @@ def sample_ids(
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Generate ``length`` ids per stream. Returns ((length, B) ids, state)."""
 
-    inv_t = 1.0 / temperature
+    greedy = temperature == 0.0
+    inv_t = 0.0 if greedy else 1.0 / temperature
 
     def step(carry, _):
         ch, h, c, k = carry
         logits, (h, c) = model.forward_step(params, ch, h, c, cfg)
         k, sub = jax.random.split(k)
-        nxt = jax.random.categorical(sub, logits * inv_t, axis=-1).astype(jnp.int32)
+        if greedy:
+            # argmax decoding (the reference's cublasIsamax path,
+            # class_CUDA/cu_matrix.cu:377-395)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(sub, logits * inv_t, axis=-1).astype(jnp.int32)
         return (nxt, h, c, k), nxt
 
     (_, hT, cT, _), ids = jax.lax.scan(

@@ -60,6 +60,11 @@ def make_dp_superstep(
         (loss, ((h2, c2), bits)), grads = jax.value_and_grad(
             model.loss_fn, has_aux=True
         )(state.params, x, t, state.h, state.c, mcfg, cell_fn)
+        if tcfg.skip_nonfinite:
+            finite = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+            )
         grads = jax.lax.pmean(grads, axis)
         bits = jax.lax.pmean(bits, axis)
         newpos, wrapped = corpus_mod.advance_positions(state.positions, stride, length, seq)

@@ -71,6 +71,13 @@ def make_superstep(
         (loss, ((h2, c2), bits)), grads = jax.value_and_grad(
             model.loss_fn, has_aux=True
         )(state.params, x, t, state.h, state.c, mcfg, cell_fn)
+        if tcfg.skip_nonfinite:
+            # reference skips NaN losses silently (cu_lstm.h:210-211); we
+            # zero the grads so the Adagrad update is a no-op that step
+            finite = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+            )
         newpos, wrapped = corpus_mod.advance_positions(
             state.positions, stride, length, seq
         )
@@ -185,9 +192,12 @@ class Trainer:
                     "mfu": mfu,
                 }
                 if not quiet:
+                    # ETA meter (reference BLAS variant, lstm.cc:361-380)
+                    eta = timer.elapsed() / (k + 1) * (n_super - k - 1)
                     print(
                         f"step {self.step:>8d}  bpc {bits:6.3f}  "
-                        f"{cps:,.0f} chars/s  {gflops:,.0f} GF/s  mfu {mfu:5.1%}",
+                        f"{cps:,.0f} chars/s  {gflops:,.0f} GF/s  mfu {mfu:5.1%}"
+                        f"  eta {eta:,.0f}s",
                         flush=True,
                     )
                 if on_report:
@@ -255,6 +265,38 @@ class Trainer:
             self.mcfg,
             max_chars=max_chars or self.tcfg.eval_chars,
         )
+
+    def gradcheck(self, samples_per_tensor: int = 100) -> bool:
+        """Numerical gradient check at the current training point — the
+        reference runs this once per epoch mid-training
+        (``class_batch/lstm.cc:323-337``). Uses the current window data.
+        Meaningful in float64 configs; in fp32 it is a smoke check only."""
+        from ..utils import gradcheck as gc
+
+        x, t = corpus_mod.make_windows(
+            self.corpus, self.state.positions, self.dcfg.seq
+        )
+        h, c = self.state.h, self.state.c
+
+        loss_of = jax.jit(
+            lambda p: model.loss_fn(p, x, t, h, c, self.mcfg)[0]
+        )
+        grads = jax.grad(lambda p: model.loss_fn(p, x, t, h, c, self.mcfg)[0])(
+            self.state.params
+        )
+        results = gc.check_gradients(
+            loss_of, self.state.params, grads,
+            samples_per_tensor=samples_per_tensor,
+        )
+        ok = all(r.passed for r in results.values())
+        for name, r in results.items():
+            status = "ok" if r.passed else "FAIL"
+            print(
+                f"[gradcheck] {name:30s} max {r.max_rel_err:.2e} "
+                f"mean {r.mean_rel_err:.2e} ({r.n_checked} samples) {status}",
+                flush=True,
+            )
+        return ok
 
     def save(self, path: str):
         ckpt_mod.save_checkpoint(

@@ -144,3 +144,18 @@ def test_onehot_matmul_equals_gather():
     via_matmul = oh @ params.layers[0].W
     via_gather = params.layers[0].W[ids]
     np.testing.assert_allclose(np.asarray(via_matmul), np.asarray(via_gather), rtol=1e-6)
+
+
+def test_embedding_modes_agree():
+    """gather vs one-hot GEMM layer-0 paths produce identical forward/grads."""
+    cfg_g = small_cfg(embedding_mode="gather")
+    cfg_o = small_cfg(embedding_mode="onehot")
+    params = model.init_params(cfg_g)
+    ids, targets, h0, c0 = make_batch(cfg_g)
+    lg, _ = model.loss_fn(params, ids, targets, h0, c0, cfg_g)
+    lo, _ = model.loss_fn(params, ids, targets, h0, c0, cfg_o)
+    np.testing.assert_allclose(float(lg), float(lo), rtol=1e-6)
+    gg = jax.grad(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg_g)[0])(params)
+    go = jax.grad(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg_o)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gg), jax.tree_util.tree_leaves(go)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

@@ -179,3 +179,79 @@ def test_stride_one_sliding_mode():
     tr.state, m0 = tr.superstep(tr.state)
     tr.run(steps=200, quiet=True)
     assert tr.last_metrics["train_bpc"] < float(m0["bits_mean"]) - 1.0
+
+
+def test_skip_nonfinite_guards_update():
+    """A non-finite loss must not corrupt params (reference silently skips
+    NaN losses, cu_lstm.h:210-211; we skip the update)."""
+    import jax
+
+    from eigen_lstm_tpu.models import lstm as model_mod
+
+    mcfg = ModelConfig(hidden=16, num_layers=1, loss_mode="all", seed=0)
+    tcfg = TrainConfig(lr=0.1, superstep=2, eval_every_s=1e9, skip_nonfinite=True)
+    tr = make_trainer(mcfg=mcfg, tcfg=tcfg)
+    # poison the params with an inf — loss becomes non-finite
+    bad_params = jax.tree_util.tree_map(lambda p: p, tr.state.params)
+    poisoned = np.asarray(bad_params.Why).copy()
+    poisoned[0, 0] = np.inf
+    import dataclasses as dc
+
+    tr.state = dc.replace(
+        tr.state,
+        params=model_mod.LSTMParams(
+            bad_params.layers, jnp.asarray(poisoned), bad_params.by
+        ),
+    )
+    before_U = np.asarray(tr.state.params.layers[0].U).copy()
+    tr.state, metrics = tr.superstep(tr.state)
+    after_U = np.asarray(tr.state.params.layers[0].U)
+    # update skipped: U unchanged (inf in Why makes every grad non-finite
+    # without the guard)
+    np.testing.assert_array_equal(before_U, after_U)
+
+
+def test_remat_matches_no_remat():
+    """Activation rematerialization changes memory, not math."""
+    import jax
+
+    from eigen_lstm_tpu.models import lstm as model_mod
+
+    base = dict(vocab=16, hidden=8, num_layers=1, loss_mode="all", seed=0)
+    cfg_a = ModelConfig(**base)
+    cfg_b = ModelConfig(**base, remat=True)
+    params = model_mod.init_params(cfg_a)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 16, (6, 4)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 16, (6, 4)), jnp.int32)
+    h0, c0 = model_mod.init_state(cfg_a, 4)
+    la = model_mod.loss_fn(params, ids, targets, h0, c0, cfg_a)[0]
+    lb = model_mod.loss_fn(params, ids, targets, h0, c0, cfg_b)[0]
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    ga = jax.grad(lambda p: model_mod.loss_fn(p, ids, targets, h0, c0, cfg_a)[0])(params)
+    gb = jax.grad(lambda p: model_mod.loss_fn(p, ids, targets, h0, c0, cfg_b)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_greedy_sampling_deterministic():
+    """temperature=0 -> argmax decoding, independent of the key."""
+    from eigen_lstm_tpu.models import init_params as ip, init_state as ist
+    from eigen_lstm_tpu.models import sampler as smod
+
+    cfg = ModelConfig(hidden=16, num_layers=1, seed=0)
+    params = ip(cfg)
+    h, c = ist(cfg, 1)
+    first = jnp.asarray([65], jnp.int32)
+    ids1, _ = smod.sample_ids(params, cfg, jax.random.PRNGKey(0), first, h, c, 30, temperature=0.0)
+    ids2, _ = smod.sample_ids(params, cfg, jax.random.PRNGKey(99), first, h, c, 30, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+
+
+def test_trainer_gradcheck_runs():
+    """Smoke: the in-training gradcheck API runs and reports (fp32, so we
+    don't assert pass/fail — the fp64 oracle lives in test_gradcheck.py)."""
+    tr = make_trainer()
+    tr.run(steps=10, quiet=True)
+    ok = tr.gradcheck(samples_per_tensor=5)
+    assert isinstance(ok, bool)
