@@ -49,6 +49,9 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--clip-norm", type=float, default=None)
     p.add_argument("--warmup", type=int, default=0)
     p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--epochs", type=float, default=None,
+                   help="train this many passes over the corpus instead of "
+                        "--steps (the reference's epoch loop, root lstm.cc:142)")
     p.add_argument("--superstep", type=int, default=50)
     p.add_argument("--log-every", type=int, default=500)
     p.add_argument("--eval-every-s", type=float, default=60.0)
@@ -126,7 +129,12 @@ def cmd_train(args):
     trainer = _make_trainer(args)
     if args.gradcheck:
         trainer.gradcheck(samples_per_tensor=50)
-    trainer.run(args.steps)
+    steps = args.steps
+    if getattr(args, "epochs", None):
+        chars_per_step = trainer.dcfg.batch * trainer.dcfg.effective_stride
+        steps = max(1, int(args.epochs * len(trainer.train_np) / chars_per_step))
+        print(f"--epochs {args.epochs} -> {steps} steps", flush=True)
+    trainer.run(steps)
     if trainer.test_np is not None and len(trainer.test_np) > 1:
         bpc = trainer.evaluate()
         print(f"final test bpc: {bpc:.4f}", flush=True)

@@ -62,6 +62,10 @@ class ModelConfig:
     remat: bool = False           # rematerialize scan activations in BPTT
     # (jax.checkpoint over the per-step cell; trades recompute for HBM at
     # long S / large N — SURVEY.md §7 "Backward memory over S")
+    residual_dtype: str = "float32"  # dtype of stored BPTT residuals
+    # (h/c/gate sequences) in the Pallas path; "bfloat16" halves the HBM
+    # traffic of the recurrence at a small gradient-precision cost. The
+    # in-flight carry stays fp32 in VMEM either way.
     seed: int = 0
 
     def __post_init__(self):

@@ -25,7 +25,8 @@ def pallas_supported(mcfg: ModelConfig, batch: int) -> bool:
     if jax.devices()[0].platform != "tpu":
         return False
     n = mcfg.hidden
-    vmem_u = n * 4 * n * 4  # fp32 bytes
+    bytes_per = 2 if mcfg.compute_dtype == "bfloat16" else 4
+    vmem_u = n * 4 * n * bytes_per  # U is held in VMEM at the compute dtype
     return vmem_u <= 8 * 1024 * 1024
 
 

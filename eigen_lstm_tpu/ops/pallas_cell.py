@@ -70,9 +70,9 @@ def _fwd_kernel(n, variant, cdtype, U_ref, xw_ref, h0_ref, c0_ref,
         h = o * jnp.tanh(c_raw)
     h_s[:] = h
     c_s[:] = c_carry
-    hseq_ref[0] = h
-    cseq_ref[0] = c_carry
-    gseq_ref[0] = jnp.concatenate([iof, u], axis=-1)
+    hseq_ref[0] = h.astype(hseq_ref.dtype)
+    cseq_ref[0] = c_carry.astype(cseq_ref.dtype)
+    gseq_ref[0] = jnp.concatenate([iof, u], axis=-1).astype(gseq_ref.dtype)
 
 
 def _bwd_kernel(n, s, variant, cdtype, U_ref, gseq_ref, cseq_ref, cprev_ref,
@@ -85,16 +85,20 @@ def _bwd_kernel(n, s, variant, cdtype, U_ref, gseq_ref, cseq_ref, cprev_ref,
         dh_s[:] = dhT_ref[:].astype(jnp.float32)
         dc_s[:] = dcT_ref[:].astype(jnp.float32)
 
-    g = gseq_ref[0]
+    g = gseq_ref[0].astype(jnp.float32)
     i = g[:, :n]
     o = g[:, n : 2 * n]
     f = g[:, 2 * n : 3 * n]
     u = g[:, 3 * n :]
-    c_t = cseq_ref[0]
+    c_t = cseq_ref[0].astype(jnp.float32)
     is_first_step = t == s - 1     # timestep 0
-    c_prev = jnp.where(is_first_step, c0_ref[:].astype(jnp.float32), cprev_ref[0])
+    c_prev = jnp.where(
+        is_first_step,
+        c0_ref[:].astype(jnp.float32),
+        cprev_ref[0].astype(jnp.float32),
+    )
 
-    dh_total = dhseq_ref[0] + dh_s[:]
+    dh_total = dhseq_ref[0].astype(jnp.float32) + dh_s[:]
     if variant == "reference":
         # c_t is already tanh-squashed
         dct = dh_total * o + dc_s[:]
@@ -128,9 +132,11 @@ def _bwd_kernel(n, s, variant, cdtype, U_ref, gseq_ref, cseq_ref, cprev_ref,
 
 @functools.lru_cache(maxsize=64)
 def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
-                    interpret: bool):
-    """Build the custom-VJP fused sequence op for static (S, B, N, ...)."""
+                    rdtype_name: str, interpret: bool):
+    """Build the custom-VJP fused sequence op for static (S, B, N, ...).
+    ``rdtype``: storage dtype for the saved h/c/g residual sequences."""
     cdtype = jnp.dtype(cdtype_name).type
+    rdtype = jnp.dtype(rdtype_name).type
     f32 = jnp.float32
 
     def fwd_call(U, xw, h0, c0):
@@ -149,9 +155,9 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
                 pl.BlockSpec((1, b, 4 * n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((s, b, n), f32),
-                jax.ShapeDtypeStruct((s, b, n), f32),
-                jax.ShapeDtypeStruct((s, b, 4 * n), f32),
+                jax.ShapeDtypeStruct((s, b, n), rdtype),
+                jax.ShapeDtypeStruct((s, b, n), rdtype),
+                jax.ShapeDtypeStruct((s, b, 4 * n), rdtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),
@@ -226,7 +232,7 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
             dhT.astype(jnp.float32), dcT.astype(jnp.float32),
         )
         # dU = sum_t h_{t-1}^T dg_t — one large MXU GEMM over all steps
-        h_prev = jnp.concatenate([h0[None].astype(jnp.float32), h_seq[:-1]], axis=0)
+        h_prev = jnp.concatenate([h0[None].astype(h_seq.dtype), h_seq[:-1]], axis=0)
         dU = jax.lax.dot_general(
             h_prev.reshape(s * b, n).astype(cdtype),
             dg_seq.reshape(s * b, 4 * n).astype(cdtype),
@@ -246,14 +252,19 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
 
 def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
     """Drop-in ``cell_fn`` for ``models.lstm.forward``: same signature and
-    semantics as the XLA ``_scan_layer`` (bias pre-folded into xw)."""
+    semantics as the XLA ``_scan_layer`` (bias pre-folded into xw).
+
+    U is pre-cast to the compute dtype so its resident VMEM copy is bf16 in
+    mixed precision — this is what admits N=1024 within the VMEM budget."""
     s, b, _ = xw.shape
     n = cfg.hidden
     fn = _make_fused_seq(
-        s, b, n, cfg.cell_variant, jnp.dtype(cfg.cdtype).name, _use_interpret()
+        s, b, n, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
+        jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
+        _use_interpret(),
     )
     h_seq, (hT, cT) = fn(
-        layer.U, xw.astype(jnp.float32),
+        layer.U.astype(cfg.cdtype), xw.astype(jnp.float32),
         h0.astype(jnp.float32), c0.astype(jnp.float32),
     )
     return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))

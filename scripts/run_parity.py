@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""BPC parity experiment mandated by BASELINE.json: bf16-matmul/fp32-accum
+mixed precision must preserve bits-per-char vs full fp32, same seeds, and
+the pallas backend must match the XLA backend in training trajectory.
+
+Trains the headline config on enwik6 under each numeric regime and reports
+held-out BPC. Writes PARITY.md at the repo root.
+
+Run on TPU:  python scripts/run_parity.py [--steps 4000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one(tag, dtype, backend, steps, seed=0):
+    import jax
+
+    from eigen_lstm_tpu import DataConfig, ModelConfig, TrainConfig
+    from eigen_lstm_tpu.data import corpus as corpus_mod
+    from eigen_lstm_tpu.ops.dispatch import select_cell_fn
+    from eigen_lstm_tpu.train.trainer import Trainer
+
+    mcfg = ModelConfig(
+        hidden=512, num_layers=1, loss_mode="all", compute_dtype=dtype, seed=seed
+    )
+    dcfg = DataConfig(
+        path=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "enwik6.txt"),
+        train_percent=0.99, batch=128, seq=100,
+    )
+    tcfg = TrainConfig(lr=0.1, superstep=50, eval_every_s=1e9, seed=seed + 1)
+    train, test = corpus_mod.load_dataset(dcfg)
+    cell_fn = select_cell_fn(backend, mcfg, dcfg.batch)
+    tr = Trainer(mcfg, dcfg, tcfg, train, test, cell_fn=cell_fn)
+    t0 = time.time()
+    tr.run(steps=steps, quiet=True)
+    wall = time.time() - t0
+    bpc = tr.evaluate(max_chars=len(test))
+    res = {
+        "tag": tag,
+        "dtype": dtype,
+        "backend": backend,
+        "steps": steps,
+        "train_bpc": round(tr.last_metrics["train_bpc"], 4),
+        "test_bpc": round(bpc, 4),
+        "wall_s": round(wall, 1),
+        "chars_per_sec": round(tr.last_metrics["chars_per_sec"], 0),
+    }
+    print(json.dumps(res), flush=True)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    args = ap.parse_args()
+
+    rows = [
+        run_one("fp32/xla", "float32", "xla", args.steps),
+        run_one("fp32/pallas", "float32", "pallas", args.steps),
+        run_one("bf16/pallas", "bfloat16", "pallas", args.steps),
+        run_one("bf16/xla", "bfloat16", "xla", args.steps),
+    ]
+    base = rows[0]["test_bpc"]
+    lines = [
+        "# PARITY — numeric-regime BPC parity (headline config)",
+        "",
+        "Config: 1-layer H=512 B=128 S=100 segment-mode Adagrad on enwik6",
+        f"(99/1 split), {args.steps} steps, identical seeds. BASELINE.json",
+        "requires bf16-matmul/fp32-accum to preserve BPC within 1%.",
+        "",
+        "| regime | train bpc | test bpc | Δ vs fp32/xla | chars/sec |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        delta = (r["test_bpc"] - base) / base * 100.0
+        lines.append(
+            f"| {r['tag']} | {r['train_bpc']} | {r['test_bpc']} "
+            f"| {delta:+.2f}% | {r['chars_per_sec']:,.0f} |"
+        )
+    worst = max(abs((r["test_bpc"] - base) / base) for r in rows)
+    lines += [
+        "",
+        f"Worst deviation: {worst*100:.2f}% ({'PASS' if worst < 0.01 else 'FAIL'} vs 1% budget).",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PARITY.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""CLI tests: parser construction, config mapping, end-to-end train/eval on
+a tiny corpus (the reference's L5 driver layer as a tested surface)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from eigen_lstm_tpu.cli import _configs, build_parser
+
+
+def parse(argv):
+    return build_parser().parse_args(argv)
+
+
+def test_parser_train_defaults():
+    args = parse(["train", "--data", "x.txt"])
+    mcfg, dcfg, tcfg = _configs(args)
+    assert mcfg.hidden == 512 and mcfg.cell_variant == "reference"
+    assert dcfg.batch == 128 and dcfg.seq == 100 and dcfg.effective_stride == 100
+    assert tcfg.lr == 0.1 and tcfg.adagrad_eps == 1e-10
+
+
+def test_parser_overrides():
+    args = parse([
+        "train", "--data", "x.txt", "--hidden", "64", "--layers", "3",
+        "--cell", "standard", "--loss-mode", "last", "--dtype", "bfloat16",
+        "--stride", "1", "--no-carry", "--clip-norm", "5.0", "--warmup", "100",
+    ])
+    mcfg, dcfg, tcfg = _configs(args)
+    assert mcfg.hidden == 64 and mcfg.num_layers == 3
+    assert mcfg.cell_variant == "standard" and mcfg.loss_mode == "last"
+    assert mcfg.compute_dtype == "bfloat16"
+    assert dcfg.effective_stride == 1 and not dcfg.carry_state
+    assert tcfg.clip_norm == 5.0 and tcfg.warmup_steps == 100
+
+
+def test_parser_rejects_bad_choices():
+    with pytest.raises(SystemExit):
+        parse(["train", "--data", "x.txt", "--cell", "bogus"])
+    with pytest.raises(SystemExit):
+        parse(["train"])  # --data required
+
+
+def test_bench_args_parse():
+    """The repo-root bench.py argv contract must keep parsing."""
+    args = parse([
+        "bench", "--data", "d.txt", "--hidden", "512", "--batch", "128",
+        "--seq", "100", "--dtype", "bfloat16", "--train-percent", "1.0",
+        "--superstep", "10", "--bench-steps", "200", "--warmup-steps", "20",
+    ])
+    assert args.bench_steps == 200 and args.warmup_steps == 20
+
+
+def test_cli_end_to_end_subprocess(tmp_path):
+    """Full process-level drive: train on a tiny corpus, checkpoint, then
+    eval from the checkpoint — the user path, via the installed module."""
+    corpus = tmp_path / "c.txt"
+    corpus.write_bytes(bytes(np.tile(np.arange(65, 91, dtype=np.uint8), 400)))
+    ck = tmp_path / "ck"
+    env_cmd = [
+        sys.executable, "-m", "eigen_lstm_tpu.cli", "train",
+        "--data", str(corpus), "--hidden", "16", "--batch", "4", "--seq", "8",
+        "--steps", "40", "--superstep", "10", "--log-every", "40",
+        "--sample-chars", "0", "--ckpt-dir", str(ck), "--eval-every-s", "1e9",
+    ]
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    out = subprocess.run(env_cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (ck / "ckpt.npz").exists()
+    out2 = subprocess.run(
+        [
+            sys.executable, "-m", "eigen_lstm_tpu.cli", "eval",
+            "--data", str(corpus), "--hidden", "16", "--batch", "4", "--seq", "8",
+            "--ckpt", str(ck / "ckpt.npz"),
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    result = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert np.isfinite(result["test_bpc"]) and result["test_bpc"] < 8.1
