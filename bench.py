@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     from eigen_lstm_tpu.bench import run_benchmark
     from eigen_lstm_tpu.cli import build_parser
+    from eigen_lstm_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     data = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "enwik6.txt")
     argv = [

@@ -64,6 +64,9 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--gradcheck", action="store_true",
                    help="run a numerical gradient check before training "
                         "(reference runs one per epoch, class_batch/lstm.cc:323-337)")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of a training window "
+                        "into DIR (the rebuild's tracing subsystem, SURVEY.md §5)")
 
 
 def _configs(args):
@@ -134,6 +137,14 @@ def cmd_train(args):
         chars_per_step = trainer.dcfg.batch * trainer.dcfg.effective_stride
         steps = max(1, int(args.epochs * len(trainer.train_np) / chars_per_step))
         print(f"--epochs {args.epochs} -> {steps} steps", flush=True)
+    if args.profile:
+        import jax
+
+        # warm up (compile) outside the trace, then capture a short window
+        trainer.run(steps=trainer.tcfg.superstep, quiet=True)
+        with jax.profiler.trace(args.profile):
+            trainer.run(steps=5 * trainer.tcfg.superstep, quiet=True)
+        print(f"profile trace written to {args.profile}", flush=True)
     trainer.run(steps)
     if trainer.test_np is not None and len(trainer.test_np) > 1:
         bpc = trainer.evaluate()
@@ -204,6 +215,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from .utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

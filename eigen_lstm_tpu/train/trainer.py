@@ -243,6 +243,15 @@ class Trainer:
             )
         if self.tcfg.checkpoint_dir:
             self.save(f"{self.tcfg.checkpoint_dir}/ckpt.npz")
+            if self.tcfg.sample_chars:
+                # periodic sample dump, as the reference writes
+                # models/*_sample.txt every eval interval
+                # (class_CUDA/lstm.cc:230-235)
+                text = self.sample(self.tcfg.sample_chars)
+                with open(
+                    f"{self.tcfg.checkpoint_dir}/sample_step{self.step}.txt", "w"
+                ) as f:
+                    f.write(text)
         return row
 
     def sample(self, length: Optional[int] = None, temperature: float = 1.0) -> str:

@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run_one(tag, dtype, backend, steps, seed=0):
     import jax
 
+    from eigen_lstm_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from eigen_lstm_tpu import DataConfig, ModelConfig, TrainConfig
     from eigen_lstm_tpu.data import corpus as corpus_mod
     from eigen_lstm_tpu.ops.dispatch import select_cell_fn
