@@ -26,7 +26,6 @@ EIGEN_BLAS_GFLOPS = 4.0  # measured single-core reference throughput
 def run_benchmark(args) -> Dict[str, Any]:
     """Benchmark the jitted training superstep. ``args`` is the CLI
     namespace (see cli.py bench subcommand)."""
-    import jax.numpy as jnp
 
     from .cli import _configs
     from .data import corpus as corpus_mod

@@ -22,7 +22,7 @@ same window layout from an mmap'd corpus.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

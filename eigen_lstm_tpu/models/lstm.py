@@ -23,7 +23,6 @@ TPU-first design decisions (vs the reference's per-timestep GEMM loop):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -11,7 +11,7 @@ host↔device roundtrip (each costs ~45 ms over a tunneled TPU).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

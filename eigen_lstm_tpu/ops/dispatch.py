@@ -25,6 +25,10 @@ def pallas_supported(mcfg: ModelConfig, batch: int) -> bool:
     if jax.devices()[0].platform != "tpu":
         return False
     n = mcfg.hidden
+    if n % 128 != 0 or batch % 8 != 0:
+        # gate slices along the lane axis must be 128-aligned; batch maps to
+        # sublanes (8 for fp32)
+        return False
     bytes_per = 2 if mcfg.compute_dtype == "bfloat16" else 4
     vmem_u = n * 4 * n * bytes_per  # U is held in VMEM at the compute dtype
     return vmem_u <= 8 * 1024 * 1024

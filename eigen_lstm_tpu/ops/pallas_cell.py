@@ -27,7 +27,7 @@ CPU/GPU lockstep cross-validation (``lstm_eigen_CUDA/lstm.cu:425-496``).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

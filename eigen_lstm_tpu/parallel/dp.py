@@ -16,8 +16,7 @@ no host involvement, no cross-device data exchange beyond the grad psum.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ fused CUDA Adagrad against the Eigen path).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ checkpoint (the reference's 60 s / 900 s timed-eval pattern,
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
