@@ -29,6 +29,9 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto",
                    help="recurrence backend: fused Pallas kernel or XLA scan")
+    p.add_argument("--dp", type=int, default=None, metavar="N",
+                   help="data-parallel over N devices (shard_map+psum mesh; "
+                        "global --batch is split across them)")
 
 
 def _add_data_args(p: argparse.ArgumentParser):
@@ -116,11 +119,18 @@ def _make_trainer(args):
 
     mcfg, dcfg, tcfg = _configs(args)
     train, test = corpus_mod.load_dataset(dcfg)
+    mesh = None
+    if getattr(args, "dp", None):
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.dp)
+        print(f"data-parallel over {args.dp} devices", flush=True)
     cell_fn = select_cell_fn(args.backend, mcfg, dcfg.batch)
     trainer = Trainer(
         mcfg, dcfg, tcfg, train, test,
         cell_fn=cell_fn,
         results_path=getattr(args, "results", None),
+        mesh=mesh,
     )
     if getattr(args, "resume", None):
         trainer.restore(args.resume)

@@ -131,15 +131,30 @@ class Trainer:
         test_data: Optional[np.ndarray] = None,
         cell_fn=None,
         results_path: Optional[str] = None,
+        mesh=None,
+        mesh_axis: str = "data",
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — trains data-parallel
+        over its ``mesh_axis`` (shard_map + psum, parallel/dp.py); the global
+        batch ``dcfg.batch`` is split across devices."""
         self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
         self.train_np = train_data
         self.test_np = test_data
         self.corpus = jnp.asarray(train_data)
-        self.superstep = make_superstep(mcfg, dcfg, tcfg, self.corpus, cell_fn)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import dp as dp_mod
+
+            self._shard = lambda s: dp_mod.shard_state(s, mesh, mesh_axis)
+            self.superstep = dp_mod.make_dp_superstep(
+                mcfg, dcfg, tcfg, self.corpus, mesh, mesh_axis, cell_fn
+            )
+        else:
+            self._shard = lambda s: s
+            self.superstep = make_superstep(mcfg, dcfg, tcfg, self.corpus, cell_fn)
         self.meter = metrics_mod.ThroughputMeter(mcfg)
         self.table = metrics_mod.ResultsTable(results_path)
-        self.state = self._init_state()
+        self.state = self._shard(self._init_state())
         self.last_metrics: Dict[str, float] = {}
 
     def _init_state(self) -> TrainState:
@@ -323,12 +338,14 @@ class Trainer:
         params, m, step, extras = ckpt_mod.load_checkpoint(
             path, self.state.params, self.state.m
         )
-        self.state = TrainState(
-            params,
-            m,
-            extras.get("stream_h", self.state.h),
-            extras.get("stream_c", self.state.c),
-            extras.get("positions", self.state.positions),
-            jnp.asarray(step, jnp.int32),
-            extras.get("rng_key", self.state.key),
+        self.state = self._shard(
+            TrainState(
+                params,
+                m,
+                extras.get("stream_h", self.state.h),
+                extras.get("stream_c", self.state.c),
+                extras.get("positions", self.state.positions),
+                jnp.asarray(step, jnp.int32),
+                extras.get("rng_key", self.state.key),
+            )
         )

@@ -107,3 +107,28 @@ def test_dp_batch_divisibility_check():
     mesh = mesh_mod.make_mesh(8)
     with pytest.raises(ValueError, match="not divisible"):
         dp_mod.make_dp_superstep(mcfg, dcfg, tcfg, jnp.asarray(data), mesh)
+
+
+def test_trainer_with_mesh_end_to_end(tmp_path):
+    """Trainer(mesh=...) — the user-facing DP path: trains, evals, samples,
+    checkpoints and resumes on an 8-device mesh."""
+    mcfg, dcfg, tcfg, data = build()
+    mesh = mesh_mod.make_mesh(8)
+    tr = Trainer(mcfg, dcfg, tcfg, data[:18000], data[18000:], mesh=mesh)
+    tr.state, m0 = tr.superstep(tr.state)
+    first = float(m0["bits_mean"])
+    tr.run(steps=80, quiet=True)
+    assert tr.last_metrics["train_bpc"] < first - 1.0
+    bpc = tr.evaluate(max_chars=1000)
+    assert np.isfinite(bpc)
+    text = tr.sample(length=32)
+    assert len(text) == 32
+    path = str(tmp_path / "dp.npz")
+    tr.save(path)
+    tr2 = Trainer(mcfg, dcfg, tcfg, data[:18000], data[18000:], mesh=mesh)
+    tr2.restore(path)
+    np.testing.assert_allclose(
+        np.asarray(tr2.state.params.Why), np.asarray(tr.state.params.Why)
+    )
+    tr2.run(steps=20, quiet=True)
+    assert np.isfinite(tr2.last_metrics["train_bpc"])
