@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Measure the five BASELINE.json configs (where single-chip-runnable) and
+append BENCHMARKS.md. Configs:
+
+1. PR1 ref: H=128 S=25 B=1 fp32 on alice29 (correctness config — B=1 leaves
+   the MXU idle by design, SURVEY.md §7)
+2. Batched: H=256 B=32 S=50 on a Canterbury text (reference used shakespeare,
+   which is not shipped; asyoulik.txt is the same genre)
+3. Headline: H=512 B=128 S=100 bf16 on enwik6 (repo-root bench.py)
+4. Stacked: 3-layer H=1024 bf16 B=64 S=100 on enwik6 (per-layer fused cells)
+5. DP H=2048: multi-chip — dry-run-compiled on a virtual mesh (the box has
+   one chip); single-chip H=2048 B=64 throughput measured as the per-chip
+   datapoint.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def measure(tag, mcfg_kw, dcfg_kw, steps=400, superstep=10, eval_chars=50000):
+    import jax
+
+    from eigen_lstm_tpu import DataConfig, ModelConfig, TrainConfig
+    from eigen_lstm_tpu.data import corpus as corpus_mod
+    from eigen_lstm_tpu.ops.dispatch import select_cell_fn
+    from eigen_lstm_tpu.train import metrics as metrics_mod
+    from eigen_lstm_tpu.train.trainer import Trainer
+    from eigen_lstm_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    mcfg = ModelConfig(**mcfg_kw)
+    dcfg = DataConfig(**dcfg_kw)
+    tcfg = TrainConfig(lr=0.1, superstep=superstep, eval_every_s=1e9, eval_chars=eval_chars)
+    train, test = corpus_mod.load_dataset(dcfg)
+    cell_fn = select_cell_fn("auto", mcfg, dcfg.batch)
+    tr = Trainer(mcfg, dcfg, tcfg, train, test, cell_fn=cell_fn)
+    # compile + warm
+    tr.state, m = tr.superstep(tr.state)
+    jax.block_until_ready(m["bits_mean"])
+    n_super = max(1, steps // superstep)
+    t0 = time.perf_counter()
+    for _ in range(n_super):
+        tr.state, m = tr.superstep(tr.state)
+    jax.block_until_ready(m["bits_mean"])
+    dt = time.perf_counter() - t0
+    chars = n_super * tr.chars_per_superstep()
+    cps = chars / dt
+    fpc = metrics_mod.lstm_flops_per_char(mcfg)
+    res = {
+        "config": tag,
+        "hidden": mcfg.hidden,
+        "layers": mcfg.num_layers,
+        "batch": dcfg.batch,
+        "seq": dcfg.seq,
+        "dtype": mcfg.compute_dtype,
+        "backend": "pallas" if cell_fn else "xla",
+        "chars_per_sec": round(cps, 0),
+        "gflops": round(cps * fpc / 1e9, 1),
+        "mfu": round(cps * fpc / metrics_mod.TPU_V5E_PEAK_BF16, 4),
+        "train_bpc": round(float(m["bits_mean"]), 3),
+    }
+    print(json.dumps(res), flush=True)
+    return res
+
+
+def main():
+    rows = []
+    rows.append(measure(
+        "1. PR1-ref (correctness)",
+        dict(hidden=128, num_layers=1, loss_mode="all", seed=0),
+        dict(path=f"{ROOT}/data/alice29.txt", train_percent=0.95, batch=1, seq=25),
+        steps=300, superstep=50,
+    ))
+    rows.append(measure(
+        "2. batched",
+        dict(hidden=256, num_layers=1, loss_mode="all", seed=0),
+        dict(path=f"{ROOT}/data/cantrbry/asyoulik.txt", train_percent=0.95, batch=32, seq=50),
+        steps=400, superstep=20,
+    ))
+    rows.append(measure(
+        "3. headline",
+        dict(hidden=512, num_layers=1, loss_mode="all", compute_dtype="bfloat16", seed=0),
+        dict(path=f"{ROOT}/data/enwik6.txt", train_percent=0.99, batch=128, seq=100),
+        steps=400, superstep=10,
+    ))
+    rows.append(measure(
+        "4. stacked 3x1024 bf16",
+        dict(hidden=1024, num_layers=3, loss_mode="all", compute_dtype="bfloat16",
+             residual_dtype="bfloat16", seed=0),
+        dict(path=f"{ROOT}/data/enwik6.txt", train_percent=0.99, batch=64, seq=100),
+        steps=200, superstep=10,
+    ))
+    rows.append(measure(
+        "5. H=2048 single-chip shard (DP validated on virtual mesh)",
+        dict(hidden=2048, num_layers=1, loss_mode="all", compute_dtype="bfloat16", seed=0),
+        dict(path=f"{ROOT}/data/enwik6.txt", train_percent=0.99, batch=64, seq=50),
+        steps=100, superstep=10,
+    ))
+
+    lines = [
+        "# BENCHMARKS — BASELINE.json configs on one TPU v5e chip",
+        "",
+        "| config | backend | chars/sec | GFLOP/s (analytic) | MFU | notes |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['config']} (L{r['layers']} H{r['hidden']} B{r['batch']} "
+            f"S{r['seq']} {r['dtype']}) | {r['backend']} | {r['chars_per_sec']:,.0f} "
+            f"| {r['gflops']:,.1f} | {r['mfu']:.1%} | train bpc {r['train_bpc']} |"
+        )
+    lines += [
+        "",
+        "Config 5's 8-chip DP version is compile+execute validated on an",
+        "8-device virtual mesh (`__graft_entry__.dryrun_multichip`,",
+        "tests/test_parallel.py); this box has a single physical chip.",
+        "Reference baselines (BASELINE.md): 4 GFLOP/s CPU, 62-750 GFLOP/s GPU.",
+    ]
+    with open(os.path.join(ROOT, "BENCHMARKS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BENCHMARKS.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()
