@@ -63,10 +63,12 @@ def evaluate_bpc(
     if max_chars is not None and len(data) > max_chars + 1:
         data = data[: max_chars + 1]
     usable = len(data) - 1
+    if usable < 1:
+        raise ValueError("test split too small to evaluate")
     if usable < eval_batch * chunk:
         eval_batch = 1
-        chunk = max(1, min(chunk, usable))
     span = usable // eval_batch                    # chars scored per stream
+    chunk = min(chunk, span)
     n_chunks = max(1, span // chunk)
     span = n_chunks * chunk
     # stream e covers bytes [e*span0, ...): contiguous spans, like splitting

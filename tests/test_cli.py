@@ -85,3 +85,40 @@ def test_cli_end_to_end_subprocess(tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     result = json.loads(out2.stdout.strip().splitlines()[-1])
     assert np.isfinite(result["test_bpc"]) and result["test_bpc"] < 8.1
+
+
+def test_run_benchmark_tiny_cpu(tmp_path):
+    """Driver contract: run_benchmark returns the JSON-line schema."""
+    corpus = tmp_path / "c.txt"
+    corpus.write_bytes(bytes(np.tile(np.arange(65, 91, dtype=np.uint8), 500)))
+    from eigen_lstm_tpu.bench import run_benchmark
+
+    args = parse([
+        "bench", "--data", str(corpus), "--hidden", "16", "--batch", "4",
+        "--seq", "8", "--train-percent", "1.0", "--superstep", "2",
+        "--bench-steps", "4", "--warmup-steps", "2",
+    ])
+    res = run_benchmark(args)
+    for key in ("metric", "value", "unit", "vs_baseline", "gflops", "mfu", "train_bpc"):
+        assert key in res, key
+    assert res["value"] > 0 and res["vs_baseline"] > 0
+
+
+def test_graft_entry_contract():
+    """entry() returns a jittable fn + args; dryrun_multichip runs on the
+    8-device CPU mesh (the driver's exact calls)."""
+    import importlib.util
+    import os
+
+    import jax
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, fargs = mod.entry()
+    loss, bits = jax.jit(fn)(*fargs)
+    assert np.isfinite(float(loss)) and np.isfinite(float(bits))
+    mod.dryrun_multichip(8)

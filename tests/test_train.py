@@ -255,3 +255,13 @@ def test_trainer_gradcheck_runs():
     tr.run(steps=10, quiet=True)
     ok = tr.gradcheck(samples_per_tensor=5)
     assert isinstance(ok, bool)
+
+
+def test_eval_tiny_test_split():
+    """Evaluator handles a test split smaller than eval_batch*chunk."""
+    tr = make_trainer()
+    tiny = tr.test_np[:40]
+    bpc = eval_mod.evaluate_bpc(tr.state.params, tiny, tr.mcfg, eval_batch=16, chunk=128)
+    assert np.isfinite(bpc) and 0 < bpc < 10
+    with pytest.raises(ValueError, match="too small"):
+        eval_mod.evaluate_bpc(tr.state.params, tiny[:1], tr.mcfg)
