@@ -27,6 +27,8 @@ def _add_model_args(p: argparse.ArgumentParser):
                    help="matmul compute dtype (params stay fp32)")
     p.add_argument("--forget-bias", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--embedding", choices=["auto", "gather", "onehot"], default="auto",
+                   help="layer-0 W-x path: auto = gather fwd + one-hot-GEMM bwd")
     p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto",
                    help="recurrence backend: fused Pallas kernel or XLA scan")
     p.add_argument("--dp", type=int, default=None, metavar="N",
@@ -50,7 +52,10 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--lr", type=float, default=0.1)
     p.add_argument("--adagrad-eps", type=float, default=1e-10)
     p.add_argument("--clip-norm", type=float, default=None)
-    p.add_argument("--warmup", type=int, default=0)
+    p.add_argument("--warmup", type=int, default=None,
+                   help="lr=0 warmup steps while Adagrad m accumulates; "
+                        "default 50*seq, the reference's recipe "
+                        "(class_CUDA/lstm.cc:364-367)")
     p.add_argument("--steps", type=int, default=10000)
     p.add_argument("--epochs", type=float, default=None,
                    help="train this many passes over the corpus instead of "
@@ -84,6 +89,7 @@ def _configs(args):
         loss_base=args.loss_base,
         compute_dtype=args.dtype,
         forget_bias=args.forget_bias,
+        embedding_mode=args.embedding,
         seed=args.seed,
     )
     dcfg = DataConfig(
@@ -99,7 +105,7 @@ def _configs(args):
         lr=args.lr,
         adagrad_eps=args.adagrad_eps,
         clip_norm=args.clip_norm,
-        warmup_steps=args.warmup,
+        warmup_steps=args.warmup if args.warmup is not None else 50 * args.seq,
         steps=args.steps,
         superstep=args.superstep,
         log_every=args.log_every,

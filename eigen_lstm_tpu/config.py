@@ -55,10 +55,11 @@ class ModelConfig:
     compute_dtype: str = "float32"    # "bfloat16" for MXU mixed precision
     init_std: float = 0.01        # W,U,Why ~ N(0, 0.01), root lstm.cc:113-115
     forget_bias: float = 1.0      # class_batch/lstm.cc:80-81
-    embedding_mode: str = "onehot"  # "gather" (W[ids]) | "onehot" (1hot @ W GEMM)
+    embedding_mode: str = "auto"  # "auto" | "gather" | "onehot"
     # The reference's W·x with one-hot x IS a gather (root lstm.cc:169), but
-    # the gather's *backward* is a scatter-add, which lowers poorly on TPU;
-    # "onehot" keeps both directions as MXU GEMMs.
+    # a gather's *backward* is a scatter-add, which lowers poorly on TPU.
+    # "auto": gather forward (zero FLOPs) + one-hot GEMM backward (custom
+    # VJP); "onehot": GEMM both ways; "gather": gather fwd + scatter bwd.
     remat: bool = False           # rematerialize scan activations in BPTT
     # (jax.checkpoint over the per-step cell; trades recompute for HBM at
     # long S / large N — SURVEY.md §7 "Backward memory over S")
@@ -72,7 +73,7 @@ class ModelConfig:
         assert self.cell_variant in ("reference", "standard"), self.cell_variant
         assert self.loss_mode in ("last", "all"), self.loss_mode
         assert self.loss_base in ("e", "2"), self.loss_base
-        assert self.embedding_mode in ("gather", "onehot"), self.embedding_mode
+        assert self.embedding_mode in ("auto", "gather", "onehot"), self.embedding_mode
 
     @property
     def pdtype(self):

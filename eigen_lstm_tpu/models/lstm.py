@@ -161,6 +161,9 @@ def forward(
                     cfg.adtype,
                 ).reshape(s, b_, -1)
                 xw = xw + layer.b.astype(cfg.adtype)
+            elif cfg.embedding_mode == "auto":
+                xw = cell_ops.embed(layer.W, ids, cfg.cdtype, cfg.adtype)
+                xw = xw + layer.b.astype(cfg.adtype)
             else:
                 xw = layer.W.astype(cfg.adtype)[ids] + layer.b.astype(cfg.adtype)
         else:

@@ -16,6 +16,7 @@ to lanes.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -102,3 +103,46 @@ def one_hot(ids: jax.Array, vocab: int, dtype=jnp.float32) -> jax.Array:
     """Byte ids -> one-hot rows, replacing the reference's M×M identity
     ``codes`` matrix column-gather (root ``lstm.cc:129,169``)."""
     return jax.nn.one_hot(ids, vocab, dtype=dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_embed(cdtype_name: str, adtype_name: str, vocab: int, wdtype_name: str):
+    cdtype = jnp.dtype(cdtype_name).type
+    adtype = jnp.dtype(adtype_name).type
+    wdtype = jnp.dtype(wdtype_name).type
+
+    @jax.custom_vjp
+    def embed_fn(W, ids):
+        return W.astype(adtype)[ids]
+
+    def fwd(W, ids):
+        return embed_fn(W, ids), ids
+
+    def bwd(ids, g):
+        oh = one_hot(ids.reshape(-1), vocab, cdtype)
+        dW = jax.lax.dot_general(
+            oh, g.reshape(-1, g.shape[-1]).astype(cdtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=adtype,
+        )
+        return (dW.astype(wdtype), None)
+
+    embed_fn.defvjp(fwd, bwd)
+    return embed_fn
+
+
+def embed(W: jax.Array, ids: jax.Array, compute_dtype=jnp.float32, accum_dtype=jnp.float32):
+    """Embedding lookup with a TPU-friendly backward.
+
+    Forward is a row gather ``W[ids]`` (zero FLOPs — the reference's one-hot
+    GEMM collapses to this, root ``lstm.cc:169``). The *gradient* of a gather
+    is a scatter-add, which lowers poorly on TPU, so the custom VJP computes
+    ``dW = one_hot(ids)^T @ d_out`` as a single MXU GEMM instead.
+    """
+    fn = _make_embed(
+        jnp.dtype(compute_dtype).name,
+        jnp.dtype(accum_dtype).name,
+        W.shape[0],
+        jnp.dtype(W.dtype).name,
+    )
+    return fn(W, ids)

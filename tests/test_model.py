@@ -159,3 +159,21 @@ def test_embedding_modes_agree():
     go = jax.grad(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg_o)[0])(params)
     for a, b in zip(jax.tree_util.tree_leaves(gg), jax.tree_util.tree_leaves(go)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_embedding_auto_matches_gather_and_onehot():
+    """auto (gather fwd + one-hot-GEMM bwd custom VJP) must equal both."""
+    cfgs = {m: small_cfg(embedding_mode=m) for m in ("auto", "gather", "onehot")}
+    params = model.init_params(cfgs["auto"])
+    ids, targets, h0, c0 = make_batch(cfgs["auto"])
+    losses = {}
+    grads = {}
+    for m, cfg in cfgs.items():
+        losses[m] = float(model.loss_fn(params, ids, targets, h0, c0, cfg)[0])
+        grads[m] = jax.tree_util.tree_leaves(
+            jax.grad(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg)[0])(params)
+        )
+    np.testing.assert_allclose(losses["auto"], losses["gather"], rtol=1e-6)
+    np.testing.assert_allclose(losses["auto"], losses["onehot"], rtol=1e-6)
+    for a, b in zip(grads["auto"], grads["gather"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
