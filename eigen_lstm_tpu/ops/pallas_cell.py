@@ -52,7 +52,7 @@ def _fwd_kernel(n, variant, cdtype, U_ref, xw_ref, h0_ref, c0_ref,
 
     h_prev = h_s[:]
     c_prev = c_s[:]
-    g_pre = xw_ref[0] + jnp.dot(
+    g_pre = xw_ref[0].astype(jnp.float32) + jnp.dot(
         h_prev.astype(cdtype), U_ref[:].astype(cdtype),
         preferred_element_type=jnp.float32,
     )
@@ -116,7 +116,7 @@ def _bwd_kernel(n, s, variant, cdtype, U_ref, gseq_ref, cseq_ref, cprev_ref,
     dgf = df * f * (1.0 - f)
     dgu = du * (1.0 - u * u)
     dg = jnp.concatenate([dgi, dgo, dgf, dgu], axis=-1)
-    dgseq_ref[0] = dg
+    dgseq_ref[0] = dg.astype(dgseq_ref.dtype)
 
     # dh_{t-1} = dg @ U^T  (contract the 4N axis)
     dh_s[:] = jax.lax.dot_general(
@@ -138,6 +138,10 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
     cdtype = jnp.dtype(cdtype_name).type
     rdtype = jnp.dtype(rdtype_name).type
     f32 = jnp.float32
+    # storage dtype of the per-step input stream xw and its cotangent dg:
+    # these are the largest HBM streams of the recurrence ((S*B, 4N) each);
+    # bf16 halves their traffic under mixed precision
+    xdtype = jnp.bfloat16 if cdtype_name == "bfloat16" else f32
 
     def fwd_call(U, xw, h0, c0):
         return pl.pallas_call(
@@ -195,7 +199,7 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((s, b, 4 * n), f32),
+                jax.ShapeDtypeStruct((s, b, 4 * n), xdtype),
                 jax.ShapeDtypeStruct((b, n), f32),
                 jax.ShapeDtypeStruct((b, n), f32),
             ],
@@ -263,8 +267,9 @@ def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
         jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
         _use_interpret(),
     )
+    xdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     h_seq, (hT, cT) = fn(
-        layer.U.astype(cfg.cdtype), xw.astype(jnp.float32),
+        layer.U.astype(cfg.cdtype), xw.astype(xdtype),
         h0.astype(jnp.float32), c0.astype(jnp.float32),
     )
     return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))

@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def measure(tag, mcfg_kw, dcfg_kw, steps=400, superstep=10, eval_chars=50000):
+def measure(tag, mcfg_kw, dcfg_kw, steps=400, superstep=10, eval_chars=50000,
+            lr=0.1, warmup=0):
     import jax
 
     from eigen_lstm_tpu import DataConfig, ModelConfig, TrainConfig
@@ -36,7 +37,8 @@ def measure(tag, mcfg_kw, dcfg_kw, steps=400, superstep=10, eval_chars=50000):
     enable_compilation_cache()
     mcfg = ModelConfig(**mcfg_kw)
     dcfg = DataConfig(**dcfg_kw)
-    tcfg = TrainConfig(lr=0.1, superstep=superstep, eval_every_s=1e9, eval_chars=eval_chars)
+    tcfg = TrainConfig(lr=lr, warmup_steps=warmup, superstep=superstep,
+                       eval_every_s=1e9, eval_chars=eval_chars)
     train, test = corpus_mod.load_dataset(dcfg)
     cell_fn = select_cell_fn("auto", mcfg, dcfg.batch)
     tr = Trainer(mcfg, dcfg, tcfg, train, test, cell_fn=cell_fn)
@@ -87,20 +89,20 @@ def main():
         "3. headline",
         dict(hidden=512, num_layers=1, loss_mode="all", compute_dtype="bfloat16", seed=0),
         dict(path=f"{ROOT}/data/enwik6.txt", train_percent=0.99, batch=128, seq=100),
-        steps=400, superstep=10,
+        steps=400, superstep=10, lr=0.02, warmup=100,
     ))
     rows.append(measure(
         "4. stacked 3x1024 bf16",
         dict(hidden=1024, num_layers=3, loss_mode="all", compute_dtype="bfloat16",
              residual_dtype="bfloat16", seed=0),
         dict(path=f"{ROOT}/data/enwik6.txt", train_percent=0.99, batch=64, seq=100),
-        steps=200, superstep=10,
+        steps=200, superstep=10, lr=0.02, warmup=100,
     ))
     rows.append(measure(
         "5. H=2048 single-chip shard (DP validated on virtual mesh)",
         dict(hidden=2048, num_layers=1, loss_mode="all", compute_dtype="bfloat16", seed=0),
         dict(path=f"{ROOT}/data/enwik6.txt", train_percent=0.99, batch=64, seq=50),
-        steps=100, superstep=10,
+        steps=100, superstep=10, lr=0.02, warmup=100,
     ))
 
     lines = [
