@@ -81,7 +81,7 @@ def save_checkpoint(
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(tmp, "wb") as f:
-        np.savez(f, **payload)
+        np.savez_compressed(f, **payload)
     os.replace(tmp, path)
 
 

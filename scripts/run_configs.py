@@ -102,7 +102,7 @@ def main():
         "5. H=2048 single-chip shard (DP validated on virtual mesh)",
         dict(hidden=2048, num_layers=1, loss_mode="all", compute_dtype="bfloat16", seed=0),
         dict(path=f"{ROOT}/data/enwik6.txt", train_percent=0.99, batch=64, seq=50),
-        steps=100, superstep=10, lr=0.02, warmup=100,
+        steps=800, superstep=10, lr=0.005, warmup=200,
     ))
 
     lines = [
