@@ -119,6 +119,11 @@ def make_dp_superstep(
         mesh=mesh,
         in_specs=(state_specs,),
         out_specs=(state_specs, metrics_specs),
+        # NOTE: with check_vma=True, the grads of replicated params inside
+        # value_and_grad get an implicit cross-device reduction that double
+        # counts against the explicit pmean below (parity test catches it);
+        # unchecked mode + explicit pmean is the configuration validated
+        # against the single-device run (tests/test_parallel.py).
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())

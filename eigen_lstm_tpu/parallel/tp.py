@@ -1,0 +1,179 @@
+"""Tensor-parallel (gate-sharded) LSTM over a ``model`` mesh axis.
+
+Motivation (docs/PERFORMANCE.md roofline): at N=2048 a single chip must
+re-stream the 32 MB recurrent weight U from HBM every timestep — the
+recurrence is HBM-bound (~28% MFU ceiling) no matter how the kernel is
+written. Sharding the 4N gate axis across D chips shrinks each chip's U
+shard to (N, 4N/D), which fits VMEM again; the only added communication is
+an all-gather of h (B, N — hundreds of KB) per step over ICI.
+
+Layout. Plain column-chunking of the packed ``[i|o|f|u]`` axis would give
+device 0 *all* of gate i, which breaks the elementwise cell update. Instead
+the 4N axis is permuted to device-major groups ``[i_d o_d f_d u_d]`` (each
+N/D wide), so device d holds the i/o/f/u slices of *its own* N/D hidden
+units and computes its c_d, h_d shard entirely locally:
+
+    h_full = all_gather(h_d)                  # (B, N)   — ICI, per step
+    g_d    = xw_d + h_full @ U_d              # (B, 4N/D) — MXU
+    c_d, h_d = cell(g_d, c_d)                 # local elementwise
+    logits = psum_d(h_d @ Why_d) + by         # head: row-sharded Why
+
+Backward is ``jax.grad`` through the collectives (all_gather ⇄
+reduce_scatter transposes are automatic). Composes with data parallelism on
+a 2-D (data, model) mesh. The reference has no model parallelism of any
+kind (SURVEY.md §2.4) — this is TPU-native new capability.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..models import lstm as model
+from ..ops import cell as cell_ops
+
+
+def _gate_permutation(n: int, ndev: int) -> np.ndarray:
+    """Permutation of the packed 4N gate axis from gate-major ``[i|o|f|u]``
+    (each N) to device-major ``[[i_d o_d f_d u_d] for d]`` (each 4*N/ndev)."""
+    nd = n // ndev
+    cols = []
+    for d in range(ndev):
+        for gate in range(4):
+            start = gate * n + d * nd
+            cols.append(np.arange(start, start + nd))
+    return np.concatenate(cols)
+
+
+def permute_params_for_tp(params: model.LSTMParams, ndev: int) -> model.LSTMParams:
+    """Reorder weight columns (and Why rows) into the TP device-major layout.
+    The result still computes the identical function when used with
+    ``tp_forward`` on an ndev-way model axis."""
+    layers = []
+    for layer in params.layers:
+        n = layer.U.shape[0]
+        if n % ndev != 0:
+            raise ValueError(f"hidden {n} not divisible by {ndev} TP devices")
+        perm = _gate_permutation(n, ndev)
+        layers.append(
+            model.LayerParams(
+                W=layer.W[:, perm],
+                U=layer.U[:, perm],
+                b=layer.b[perm],
+            )
+        )
+    # Why rows follow the hidden units: device d owns rows [d*N/D, (d+1)*N/D)
+    # — plain chunking already matches, no permutation needed.
+    return model.LSTMParams(tuple(layers), params.Why, params.by)
+
+
+def tp_specs(mcfg: ModelConfig, axis: str = "model"):
+    """PartitionSpecs for the permuted params on the model axis."""
+    layer_spec = model.LayerParams(W=P(None, axis), U=P(None, axis), b=P(axis))
+    return model.LSTMParams(
+        layers=tuple(layer_spec for _ in range(mcfg.num_layers)),
+        Why=P(axis, None),
+        by=P(),
+    )
+
+
+def _tp_scan_layer(layer, xw, h0_d, c0_d, cfg: ModelConfig, axis: str):
+    """Shard-local recurrence: xw (S, B, 4N/D), h0_d/c0_d (B, N/D).
+    Uses shard-local gate order [i,o,f,u] each N/D wide."""
+    nd = layer.U.shape[1] // 4
+
+    def step(carry, xw_t):
+        h_d, c_d = carry
+        h_full = jax.lax.all_gather(h_d, axis, axis=1, tiled=True)  # (B, N)
+        g_pre = xw_t + cell_ops.matmul(h_full, layer.U, cfg.cdtype)
+        h_d, c_d = cell_ops.cell_step(
+            g_pre, c_d.astype(cfg.adtype), nd, cfg.cell_variant
+        )
+        h_d = h_d.astype(cfg.pdtype)
+        c_d = c_d.astype(cfg.pdtype)
+        return (h_d, c_d), h_d
+
+    (hT, cT), h_seq = jax.lax.scan(step, (h0_d, c0_d), xw)
+    return h_seq, (hT, cT)
+
+
+def tp_loss_fn(
+    params: model.LSTMParams,   # shard-local leaves (inside shard_map)
+    ids: jax.Array,             # (S, B) — replicated
+    targets: jax.Array,         # (S, B) — replicated
+    h0: jax.Array,              # (L, B, N/D) shard
+    c0: jax.Array,              # (L, B, N/D) shard
+    cfg: ModelConfig,
+    axis: str = "model",
+) -> Tuple[jax.Array, Tuple[Tuple[jax.Array, jax.Array], jax.Array]]:
+    """Shard-local mirror of ``models.lstm.loss_fn`` under TP. Loss and
+    metrics come out replicated across the model axis."""
+    s, b_ = ids.shape
+    x_full = None  # full hidden sequence of the layer below (all-gathered)
+    h_last, c_last = [], []
+    for l, layer in enumerate(params.layers):
+        if l == 0:
+            # W_d is column-sharded: the gather yields the local xw shard
+            xw = layer.W.astype(cfg.adtype)[ids] + layer.b.astype(cfg.adtype)
+        else:
+            flat = x_full.reshape(s * b_, -1)
+            xw = cell_ops.matmul(flat, layer.W, cfg.cdtype).reshape(s, b_, -1)
+            xw = xw + layer.b.astype(cfg.adtype)
+        h_seq_d, (hT, cT) = _tp_scan_layer(layer, xw, h0[l], c0[l], cfg, axis)
+        x_full = jax.lax.all_gather(h_seq_d, axis, axis=2, tiled=True)
+        h_last.append(hT)
+        c_last.append(cT)
+
+    # head: Why row-sharded over hidden -> partial products psum'd
+    flat = x_full.reshape(s * b_, -1)
+    nd = params.Why.shape[0]
+    d_idx = jax.lax.axis_index(axis)
+    local = jax.lax.dynamic_slice_in_dim(flat, d_idx * nd, nd, axis=1)
+    y = cell_ops.matmul(local, params.Why, cfg.cdtype)
+    y = jax.lax.psum(y, axis) + params.by.astype(cfg.adtype)
+    logits = y.reshape(s, b_, cfg.vocab)
+
+    if cfg.loss_mode == "last":
+        bits = model.softmax_xent_bits(logits[-1], targets[-1])
+    else:
+        bits = model.softmax_xent_bits(logits, targets)
+    mean_bits = jnp.mean(bits)
+    loss = mean_bits if cfg.loss_base == "2" else mean_bits * model.LN2
+    return loss, ((jnp.stack(h_last), jnp.stack(c_last)), mean_bits)
+
+
+def make_tp_loss_and_grad(mcfg: ModelConfig, mesh: Mesh, axis: str = "model"):
+    """jitted (loss, bits), grads over the TP mesh. Params must be permuted
+    (``permute_params_for_tp``) and placed with ``shard_tp_params``."""
+    pspecs = tp_specs(mcfg, axis)
+    state_spec = P(None, None, axis)   # (L, B, N) sharded on hidden
+
+    def local(params, ids, targets, h0, c0):
+        def loss_of(p):
+            return tp_loss_fn(p, ids, targets, h0, c0, mcfg, axis)
+
+        (loss, (_, bits)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        return loss, bits, grads
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(pspecs, P(), P(), state_spec, state_spec),
+        out_specs=(P(), P(), pspecs),
+    )
+    return jax.jit(mapped)
+
+
+def shard_tp_params(params: model.LSTMParams, mesh: Mesh, axis: str = "model"):
+    """Place permuted params with the TP shardings."""
+    specs = tp_specs(ModelConfig(hidden=params.layers[0].U.shape[0],
+                                 num_layers=len(params.layers)), axis)
+    return jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), params, specs
+    )

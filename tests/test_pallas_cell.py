@@ -108,3 +108,36 @@ def test_pallas_under_jit_and_training_step():
         params, m, loss = train_step(params, m)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("residual_dtype", ["float32", "bfloat16"])
+def test_bf16_compute_and_residual_parity(residual_dtype):
+    """Mixed-precision kernel paths (bf16 U in VMEM, bf16 xw/dg streams,
+    optional bf16 residuals) vs the fp32 oracle at bf16 tolerances."""
+    cfg_ref = ModelConfig(vocab=64, hidden=N, num_layers=1, loss_mode="all", seed=0)
+    cfg_bf = ModelConfig(
+        vocab=64, hidden=N, num_layers=1, loss_mode="all", seed=0,
+        compute_dtype="bfloat16", residual_dtype=residual_dtype,
+    )
+    params = model.init_params(cfg_ref)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 64, (S, B)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, 64, (S, B)), jnp.int32)
+    h0, c0 = model.init_state(cfg_ref, B)
+
+    l_ref = float(model.loss_fn(params, ids, targets, h0, c0, cfg_ref)[0])
+    l_bf = float(
+        model.loss_fn(params, ids, targets, h0, c0, cfg_bf, cell_fn=pallas_scan_layer)[0]
+    )
+    assert abs(l_bf - l_ref) / abs(l_ref) < 0.01, (l_bf, l_ref)
+
+    g_ref = jax.grad(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg_ref)[0])(params)
+    g_bf = jax.grad(
+        lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg_bf, cell_fn=pallas_scan_layer)[0]
+    )(params)
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0], jax.tree_util.tree_leaves(g_bf)
+    ):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err < 0.05, f"{jax.tree_util.keystr(path)}: {err}"

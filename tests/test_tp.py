@@ -1,0 +1,82 @@
+"""Tensor-parallel (gate-sharded) LSTM tests on the 8-virtual-device mesh:
+TP loss/grads must exactly match the single-device model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eigen_lstm_tpu import ModelConfig
+from eigen_lstm_tpu.models import lstm as model
+from eigen_lstm_tpu.parallel import mesh as mesh_mod
+from eigen_lstm_tpu.parallel import tp as tp_mod
+
+
+def setup(num_layers=1, hidden=16, s=6, b=4, seed=0, **cfg_kw):
+    cfg = ModelConfig(
+        vocab=32, hidden=hidden, num_layers=num_layers, loss_mode="all",
+        seed=seed, **cfg_kw,
+    )
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    h0 = jnp.asarray(rng.normal(size=(num_layers, b, hidden)) * 0.1, jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(num_layers, b, hidden)) * 0.1, jnp.float32)
+    return cfg, params, ids, targets, h0, c0
+
+
+def test_gate_permutation_is_permutation():
+    perm = tp_mod._gate_permutation(16, 4)
+    assert sorted(perm.tolist()) == list(range(64))
+
+
+def test_permuted_params_same_function_on_one_device():
+    """Permutation + 1-device TP mesh == original model."""
+    cfg, params, ids, targets, h0, c0 = setup()
+    mesh = mesh_mod.make_mesh(1, axis="model")
+    pperm = tp_mod.permute_params_for_tp(params, 1)
+    tp_fn = tp_mod.make_tp_loss_and_grad(cfg, mesh)
+    loss_tp, bits_tp, _ = tp_fn(
+        tp_mod.shard_tp_params(pperm, mesh), ids, targets, h0, c0
+    )
+    loss_ref, (_, bits_ref) = model.loss_fn(params, ids, targets, h0, c0, cfg)
+    np.testing.assert_allclose(float(loss_tp), float(loss_ref), rtol=1e-6)
+
+
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_tp8_matches_single_device(num_layers):
+    cfg, params, ids, targets, h0, c0 = setup(num_layers=num_layers)
+    mesh = mesh_mod.make_mesh(8, axis="model")
+    ndev = 8
+
+    pperm = tp_mod.permute_params_for_tp(params, ndev)
+    tp_fn = tp_mod.make_tp_loss_and_grad(cfg, mesh)
+    loss_tp, bits_tp, grads_tp = tp_fn(
+        tp_mod.shard_tp_params(pperm, mesh), ids, targets, h0, c0
+    )
+
+    loss_ref, (_, bits_ref) = model.loss_fn(params, ids, targets, h0, c0, cfg)
+    np.testing.assert_allclose(float(loss_tp), float(loss_ref), rtol=1e-5)
+    np.testing.assert_allclose(float(bits_tp), float(bits_ref), rtol=1e-5)
+
+    grads_ref = jax.grad(
+        lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg)[0]
+    )(params)
+    # TP grads come back in the permuted layout: permuting the reference
+    # grads must reproduce them
+    grads_ref_perm = tp_mod.permute_params_for_tp(grads_ref, ndev)
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(grads_ref_perm)[0],
+        jax.tree_util.tree_leaves(grads_tp),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=f"TP grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_tp_rejects_indivisible_hidden():
+    cfg, params, *_ = setup(hidden=12)
+    with pytest.raises(ValueError, match="not divisible"):
+        tp_mod.permute_params_for_tp(params, 8)
