@@ -34,6 +34,9 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--dp", type=int, default=None, metavar="N",
                    help="data-parallel over N devices (shard_map+psum mesh; "
                         "global --batch is split across them)")
+    p.add_argument("--tp", type=int, default=None, metavar="N",
+                   help="tensor-parallel over N devices (gate-sharded "
+                        "weights; --hidden must divide by N)")
 
 
 def _add_data_args(p: argparse.ArgumentParser):
@@ -126,17 +129,27 @@ def _make_trainer(args):
     mcfg, dcfg, tcfg = _configs(args)
     train, test = corpus_mod.load_dataset(dcfg)
     mesh = None
+    parallel = "dp"
+    if getattr(args, "dp", None) and getattr(args, "tp", None):
+        raise SystemExit("--dp and --tp are mutually exclusive (2-D mesh: future)")
     if getattr(args, "dp", None):
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(args.dp)
         print(f"data-parallel over {args.dp} devices", flush=True)
+    elif getattr(args, "tp", None):
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.tp, axis="model")
+        parallel = "tp"
+        print(f"tensor-parallel over {args.tp} devices", flush=True)
     cell_fn = select_cell_fn(args.backend, mcfg, dcfg.batch)
     trainer = Trainer(
         mcfg, dcfg, tcfg, train, test,
         cell_fn=cell_fn,
         results_path=getattr(args, "results", None),
         mesh=mesh,
+        parallel=parallel,
     )
     if getattr(args, "resume", None):
         trainer.restore(args.resume)

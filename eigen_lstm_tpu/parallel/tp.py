@@ -177,3 +177,128 @@ def shard_tp_params(params: model.LSTMParams, mesh: Mesh, axis: str = "model"):
     return jax.tree_util.tree_map(
         lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), params, specs
     )
+
+
+def make_tp_superstep(
+    mcfg: ModelConfig,
+    dcfg,
+    tcfg,
+    corpus: jax.Array,
+    mesh: Mesh,
+    axis: str = "model",
+    donate: bool = True,
+):
+    """Full TP training superstep (scan of K steps): windows are replicated
+    (every device reads the same byte streams), each device trains its own
+    weight shards — no gradient collective at all; the only per-step
+    communication is the all-gather of h inside the recurrence and the head
+    psum. State layout mirrors ``trainer.TrainState`` with params/m in the
+    permuted TP sharding and h/c sharded on the hidden axis."""
+    from ..data import corpus as corpus_mod
+    from ..train import optimizer as opt_mod
+    from ..train.trainer import TrainState
+
+    length = int(corpus.shape[0])
+    stride = dcfg.effective_stride
+    seq = dcfg.seq
+    ndev = mesh.devices.size
+
+    def inner(state: TrainState, _):
+        x, t = corpus_mod.make_windows(corpus, state.positions, seq)
+
+        def loss_of(p):
+            return tp_loss_fn(p, x, t, state.h, state.c, mcfg, axis)
+
+        (loss, ((h2, c2), bits)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        if tcfg.skip_nonfinite:
+            finite = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+            )
+        newpos, wrapped = corpus_mod.advance_positions(
+            state.positions, stride, length, seq
+        )
+        if dcfg.carry_state:
+            key, sub = jax.random.split(state.key)
+            mask = wrapped[None, :, None]
+            if dcfg.reset_std > 0.0:
+                sub = jax.random.fold_in(sub, jax.lax.axis_index(axis))
+                kh, kc = jax.random.split(sub)
+                rh = jax.random.normal(kh, h2.shape, h2.dtype) * dcfg.reset_std
+                rc = jax.random.normal(kc, c2.shape, c2.dtype) * dcfg.reset_std
+                rh = jax.lax.pvary(rh, (axis,)) if hasattr(jax.lax, "pvary") else rh
+                rc = jax.lax.pvary(rc, (axis,)) if hasattr(jax.lax, "pvary") else rc
+            else:
+                rh = jnp.zeros_like(h2)
+                rc = jnp.zeros_like(c2)
+            h2 = jnp.where(mask, rh, h2)
+            c2 = jnp.where(mask, rc, c2)
+        else:
+            key = state.key
+            h2 = jnp.zeros_like(state.h)
+            c2 = jnp.zeros_like(state.c)
+        params, m, gnorm = opt_mod.apply_updates(
+            state.params, grads, state.m, state.step, tcfg, psum_axis=axis
+        )
+        return TrainState(params, m, h2, c2, newpos, state.step + 1, key), (bits, gnorm)
+
+    def local_superstep(state: TrainState):
+        state, (bits, gnorms) = jax.lax.scan(inner, state, None, length=tcfg.superstep)
+        return state, {
+            "bits_mean": jnp.mean(bits),
+            "bits_last": bits[-1],
+            "gnorm_mean": jnp.mean(gnorms),
+        }
+
+    pspecs = tp_specs(mcfg, axis)
+    state_specs = TrainState(
+        params=pspecs,
+        m=pspecs,
+        h=P(None, None, axis),
+        c=P(None, None, axis),
+        positions=P(),
+        step=P(),
+        key=P(),
+    )
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    mapped = jax.shard_map(
+        local_superstep,
+        mesh=mesh,
+        in_specs=(state_specs,),
+        out_specs=(state_specs, metrics_specs),
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def shard_tp_state(state, mesh: Mesh, mcfg: ModelConfig, axis: str = "model"):
+    """Place a single-device TrainState (params already permuted) onto the TP
+    mesh."""
+    from ..train.trainer import TrainState
+
+    pspecs = tp_specs(mcfg, axis)
+    put = lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp))
+    return TrainState(
+        params=jax.tree_util.tree_map(put, state.params, pspecs),
+        m=jax.tree_util.tree_map(put, state.m, pspecs),
+        h=put(state.h, P(None, None, axis)),
+        c=put(state.c, P(None, None, axis)),
+        positions=put(state.positions, P()),
+        step=put(state.step, P()),
+        key=put(state.key, P()),
+    )
+
+
+def unpermute_params_from_tp(params: model.LSTMParams, ndev: int) -> model.LSTMParams:
+    """Inverse of ``permute_params_for_tp`` — back to canonical [i|o|f|u]
+    layout (for checkpoints, eval, sampling)."""
+    layers = []
+    for layer in params.layers:
+        n = layer.U.shape[0]
+        perm = _gate_permutation(n, ndev)
+        inv = np.argsort(perm)
+        layers.append(
+            model.LayerParams(W=layer.W[:, inv], U=layer.U[:, inv], b=layer.b[inv])
+        )
+    return model.LSTMParams(tuple(layers), params.Why, params.by)

@@ -33,10 +33,22 @@ def adagrad_init(params: PyTree) -> PyTree:
     return jax.tree_util.tree_map(jnp.zeros_like, params)
 
 
-def clip_by_global_norm(grads: PyTree, max_norm: float) -> Tuple[PyTree, jax.Array]:
-    """Scale grads so the global L2 norm is at most ``max_norm``."""
+def global_norm(grads: PyTree, psum_axis=None) -> jax.Array:
+    """L2 norm over the whole pytree; with ``psum_axis`` the squared sums are
+    additionally summed over that mesh axis (parameter-sharded training —
+    e.g. tensor parallelism — where each device holds distinct shards)."""
     leaves = jax.tree_util.tree_leaves(grads)
-    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
+    sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves)
+    if psum_axis is not None:
+        sq = jax.lax.psum(sq, psum_axis)
+    return jnp.sqrt(sq)
+
+
+def clip_by_global_norm(
+    grads: PyTree, max_norm: float, psum_axis=None
+) -> Tuple[PyTree, jax.Array]:
+    """Scale grads so the global L2 norm is at most ``max_norm``."""
+    gnorm = global_norm(grads, psum_axis)
     scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-20))
     return jax.tree_util.tree_map(lambda g: g * scale.astype(g.dtype), grads), gnorm
 
@@ -79,16 +91,15 @@ def apply_updates(
     m: PyTree,
     step: jax.Array,
     cfg: TrainConfig,
+    psum_axis=None,
 ) -> Tuple[PyTree, PyTree, jax.Array]:
     """Full optimizer pipeline: clip → warm-up LR → Adagrad.
-    Returns (params, m, grad_norm)."""
+    Returns (params, m, grad_norm). ``psum_axis``: mesh axis over which the
+    parameters are *sharded* (TP) — norms are summed across it."""
     if cfg.clip_norm is not None:
-        grads, gnorm = clip_by_global_norm(grads, cfg.clip_norm)
+        grads, gnorm = clip_by_global_norm(grads, cfg.clip_norm, psum_axis)
     else:
-        leaves = jax.tree_util.tree_leaves(grads)
-        gnorm = jnp.sqrt(
-            sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves)
-        )
+        gnorm = global_norm(grads, psum_axis)
     lr = warmup_lr(cfg.lr, step, cfg.warmup_steps)
     params, m = adagrad_update(params, grads, m, lr, cfg.adagrad_eps)
     return params, m, gnorm

@@ -133,22 +133,52 @@ class Trainer:
         results_path: Optional[str] = None,
         mesh=None,
         mesh_axis: str = "data",
+        parallel: str = "dp",
     ):
-        """``mesh``: optional ``jax.sharding.Mesh`` — trains data-parallel
-        over its ``mesh_axis`` (shard_map + psum, parallel/dp.py); the global
-        batch ``dcfg.batch`` is split across devices."""
+        """``mesh``: optional ``jax.sharding.Mesh``. ``parallel="dp"`` trains
+        data-parallel over ``mesh_axis`` (shard_map + psum, parallel/dp.py;
+        the global batch is split across devices); ``parallel="tp"`` trains
+        tensor-parallel (gate-sharded weights, parallel/tp.py; every device
+        sees the full batch, weights are sharded)."""
         self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
         self.train_np = train_data
         self.test_np = test_data
         self.corpus = jnp.asarray(train_data)
         self.mesh = mesh
-        if mesh is not None:
+        self.parallel = parallel if mesh is not None else None
+        self._to_canonical = lambda p: p
+        self._from_canonical = lambda p: p
+        if mesh is not None and parallel == "dp":
             from ..parallel import dp as dp_mod
 
             self._shard = lambda s: dp_mod.shard_state(s, mesh, mesh_axis)
             self.superstep = dp_mod.make_dp_superstep(
                 mcfg, dcfg, tcfg, self.corpus, mesh, mesh_axis, cell_fn
             )
+        elif mesh is not None and parallel == "tp":
+            from ..parallel import tp as tp_mod
+
+            ndev = mesh.devices.size
+            axis = mesh.axis_names[0]
+            self._to_canonical = lambda p: tp_mod.unpermute_params_from_tp(
+                jax.device_get(p), ndev
+            )
+            self._from_canonical = lambda p: tp_mod.permute_params_for_tp(p, ndev)
+            self._shard = lambda s: tp_mod.shard_tp_state(
+                dataclasses.replace(
+                    s,
+                    params=self._from_canonical(s.params),
+                    m=self._from_canonical(s.m),
+                ),
+                mesh,
+                mcfg,
+                axis,
+            )
+            self.superstep = tp_mod.make_tp_superstep(
+                mcfg, dcfg, tcfg, self.corpus, mesh, axis
+            )
+        elif mesh is not None:
+            raise ValueError(f"unknown parallel mode {parallel!r}")
         else:
             self._shard = lambda s: s
             self.superstep = make_superstep(mcfg, dcfg, tcfg, self.corpus, cell_fn)
@@ -175,6 +205,12 @@ class Trainer:
     @property
     def step(self) -> int:
         return int(self.state.step)
+
+    def canonical_params(self):
+        """Params in the canonical [i|o|f|u] layout on the default device —
+        what eval, sampling, checkpoints, and gradcheck consume (TP holds a
+        permuted, sharded layout internally)."""
+        return self._to_canonical(self.state.params)
 
     def chars_per_superstep(self) -> int:
         # each inner step trains B streams × stride new characters
@@ -231,7 +267,7 @@ class Trainer:
         """Timed held-out eval + results row + checkpoint + sample — the
         reference's every-900 s block (``class_CUDA/lstm.cc:188-238``)."""
         test_bpc = eval_mod.evaluate_bpc(
-            self.state.params,
+            self.canonical_params(),
             self.test_np,
             self.mcfg,
             max_chars=self.tcfg.eval_chars,
@@ -273,7 +309,7 @@ class Trainer:
             self.state, key=jax.random.split(self.state.key)[0]
         )
         return sampler_mod.sample_text(
-            self.state.params,
+            self.canonical_params(),
             self.mcfg,
             self.state.key,
             length or self.tcfg.sample_chars,
@@ -283,7 +319,7 @@ class Trainer:
     def evaluate(self, max_chars: Optional[int] = None) -> float:
         assert self.test_np is not None, "no test split configured"
         return eval_mod.evaluate_bpc(
-            self.state.params,
+            self.canonical_params(),
             self.test_np,
             self.mcfg,
             max_chars=max_chars or self.tcfg.eval_chars,
@@ -301,14 +337,15 @@ class Trainer:
         )
         h, c = self.state.h, self.state.c
 
+        cparams = self.canonical_params()
         loss_of = jax.jit(
             lambda p: model.loss_fn(p, x, t, h, c, self.mcfg)[0]
         )
         grads = jax.grad(lambda p: model.loss_fn(p, x, t, h, c, self.mcfg)[0])(
-            self.state.params
+            cparams
         )
         results = gc.check_gradients(
-            loss_of, self.state.params, grads,
+            loss_of, cparams, grads,
             samples_per_tensor=samples_per_tensor,
         )
         ok = all(r.passed for r in results.values())
@@ -324,8 +361,8 @@ class Trainer:
     def save(self, path: str):
         ckpt_mod.save_checkpoint(
             path,
-            self.state.params,
-            self.state.m,
+            self.canonical_params(),
+            self._to_canonical(self.state.m),
             self.step,
             positions=self.state.positions,
             stream_h=self.state.h,
@@ -336,7 +373,7 @@ class Trainer:
 
     def restore(self, path: str):
         params, m, step, extras = ckpt_mod.load_checkpoint(
-            path, self.state.params, self.state.m
+            path, self.canonical_params(), self._to_canonical(self.state.m)
         )
         self.state = self._shard(
             TrainState(

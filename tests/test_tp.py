@@ -80,3 +80,47 @@ def test_tp_rejects_indivisible_hidden():
     cfg, params, *_ = setup(hidden=12)
     with pytest.raises(ValueError, match="not divisible"):
         tp_mod.permute_params_for_tp(params, 8)
+
+
+def test_tp_superstep_matches_single_device_training():
+    """Full TP training (8-way model mesh) == single-device training: same
+    windows, same updates on permuted shards."""
+    from eigen_lstm_tpu import DataConfig, TrainConfig
+    from eigen_lstm_tpu.train import optimizer as opt_mod
+    from eigen_lstm_tpu.train.trainer import TrainState, Trainer, make_superstep
+
+    cfg = ModelConfig(vocab=32, hidden=16, num_layers=1, loss_mode="all", seed=0)
+    dcfg = DataConfig(batch=4, seq=8, train_percent=1.0)
+    tcfg = TrainConfig(lr=0.1, superstep=3, eval_every_s=1e9)
+    data = np.tile(np.arange(31, dtype=np.uint8) + 60, 500)
+    tr = Trainer(cfg, dcfg, tcfg, data, None)
+
+    single = make_superstep(cfg, dcfg, tcfg, tr.corpus, donate=False)
+    s1, m1 = single(tr.state)
+
+    mesh = mesh_mod.make_mesh(8, axis="model")
+    perm_params = tp_mod.permute_params_for_tp(tr.state.params, 8)
+    perm_m = tp_mod.permute_params_for_tp(tr.state.m, 8)
+    state0 = TrainState(
+        perm_params, perm_m, tr.state.h, tr.state.c,
+        tr.state.positions, tr.state.step, tr.state.key,
+    )
+    tp_step = tp_mod.make_tp_superstep(cfg, dcfg, tcfg, tr.corpus, mesh, donate=False)
+    s2, m2 = tp_step(tp_mod.shard_tp_state(state0, mesh, cfg))
+
+    np.testing.assert_allclose(float(m1["bits_mean"]), float(m2["bits_mean"]), rtol=1e-5)
+    ref_perm = tp_mod.permute_params_for_tp(s1.params, 8)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_perm), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s1.positions), np.asarray(s2.positions))
+
+
+def test_permute_roundtrip():
+    cfg, params, *_ = setup(hidden=16)
+    back = tp_mod.unpermute_params_from_tp(
+        tp_mod.permute_params_for_tp(params, 8), 8
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
