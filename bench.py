@@ -34,6 +34,10 @@ def main():
         "--superstep", "10",
         "--bench-steps", "200",
         "--warmup-steps", "20",
+        # lr/warmup tuned for H=512 (docs/PERFORMANCE.md) so the reported
+        # train_bpc reflects real learning during the benchmark window
+        "--lr", "0.02",
+        "--warmup", "20",
     ]
     args = build_parser().parse_args(argv)
     result = run_benchmark(args)
