@@ -68,3 +68,28 @@ def test_gradcheck_stacked(x64):
     )
     for name, res in results.items():
         assert res.passed, f"{name}: max={res.max_rel_err:.3e} mean={res.mean_rel_err:.3e}"
+
+
+def test_gradcheck_exhaustive_small_model(x64):
+    """The reference's exhaustive mode (lstm_eigen_class/lstm.h:131-156):
+    every element of every tensor checked, on a tiny model."""
+    cfg = ModelConfig(
+        vocab=6, hidden=4, num_layers=1, loss_mode="all",
+        param_dtype="float64", compute_dtype="float64", seed=9,
+    )
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (4, 2)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (4, 2)), jnp.int32)
+    h0, c0 = model.init_state(cfg, 2)
+    loss_of = jax.jit(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg)[0])
+    grads = jax.grad(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg)[0])(params)
+    results = check_gradients(
+        loss_of, params, grads, samples_per_tensor=10**9, seed=0, floor=1e-7
+    )
+    n_total = sum(r.n_checked for r in results.values())
+    from eigen_lstm_tpu.train.metrics import param_count
+
+    assert n_total == param_count(cfg)  # literally every parameter
+    for name, r in results.items():
+        assert r.passed, f"{name}: max={r.max_rel_err:.3e} mean={r.mean_rel_err:.3e}"
