@@ -165,7 +165,7 @@ def forward(
                 xw = cell_ops.embed(layer.W, ids, cfg.cdtype, cfg.adtype)
                 xw = xw + layer.b.astype(cfg.adtype)
             else:
-                xw = layer.W.astype(cfg.adtype)[ids] + layer.b.astype(cfg.adtype)
+                xw = layer.W[ids].astype(cfg.adtype) + layer.b.astype(cfg.adtype)
         else:
             flat = x.reshape(s * b_, -1)
             xw = cell_ops.matmul(flat, layer.W, cfg.cdtype).reshape(s, b_, -1)
@@ -234,7 +234,7 @@ def forward_step(
     hs, cs = [], []
     for l, layer in enumerate(params.layers):
         if l == 0:
-            g_in = layer.W.astype(cfg.adtype)[ids]
+            g_in = layer.W[ids].astype(cfg.adtype)
         else:
             g_in = cell_ops.matmul(x, layer.W, cfg.cdtype)
         g_pre = g_in + cell_ops.matmul(h[l], layer.U, cfg.cdtype) + layer.b.astype(cfg.adtype)

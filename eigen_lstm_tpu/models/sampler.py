@@ -36,6 +36,11 @@ def sample_ids(
     greedy = temperature == 0.0
     inv_t = 0.0 if greedy else 1.0 / temperature
 
+    # hoist the loop-invariant weight casts out of the scan: at bf16 compute
+    # the fp32->bf16 converts of W/U/Why would otherwise run every step
+    if cfg.compute_dtype != cfg.param_dtype:
+        params = jax.tree_util.tree_map(lambda p: p.astype(cfg.cdtype), params)
+
     def step(carry, _):
         ch, h, c, k = carry
         logits, (h, c) = model.forward_step(params, ch, h, c, cfg)

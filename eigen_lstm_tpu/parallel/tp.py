@@ -120,7 +120,7 @@ def tp_loss_fn(
     for l, layer in enumerate(params.layers):
         if l == 0:
             # W_d is column-sharded: the gather yields the local xw shard
-            xw = layer.W.astype(cfg.adtype)[ids] + layer.b.astype(cfg.adtype)
+            xw = layer.W[ids].astype(cfg.adtype) + layer.b.astype(cfg.adtype)
         else:
             flat = x_full.reshape(s * b_, -1)
             xw = cell_ops.matmul(flat, layer.W, cfg.cdtype).reshape(s, b_, -1)

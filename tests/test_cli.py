@@ -122,3 +122,27 @@ def test_graft_entry_contract():
     loss, bits = jax.jit(fn)(*fargs)
     assert np.isfinite(float(loss)) and np.isfinite(float(bits))
     mod.dryrun_multichip(8)
+
+
+def test_profile_flag_writes_trace(tmp_path):
+    corpus = tmp_path / "c.txt"
+    corpus.write_bytes(bytes(np.tile(np.arange(65, 91, dtype=np.uint8), 400)))
+    tracedir = tmp_path / "trace"
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "eigen_lstm_tpu.cli", "train",
+            "--data", str(corpus), "--hidden", "16", "--batch", "4", "--seq", "8",
+            "--steps", "10", "--superstep", "5", "--sample-chars", "0",
+            "--profile", str(tracedir), "--eval-every-s", "1e9",
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert tracedir.exists() and any(tracedir.rglob("*")), "no trace files written"
