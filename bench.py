@@ -32,8 +32,8 @@ def main():
         "--dtype", "bfloat16",
         "--train-percent", "1.0",
         "--superstep", "10",
-        "--bench-steps", "200",
-        "--warmup-steps", "20",
+        "--bench-steps", "600",
+        "--warmup-steps", "100",
         # lr/warmup tuned for H=512 (docs/PERFORMANCE.md) so the reported
         # train_bpc reflects real learning during the benchmark window
         "--lr", "0.02",
