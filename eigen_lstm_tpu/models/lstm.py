@@ -149,7 +149,15 @@ def forward(
     s, b_ = ids.shape
     x = None
     h_last, c_last = [], []
+    embed_fn = getattr(cell_fn, "embed_layer0", None)
     for l, layer in enumerate(params.layers):
+        if l == 0 and embed_fn is not None:
+            # layer-0 embedding fused into the kernel (no xw stream)
+            h_seq, (hT, cT) = embed_fn(layer, ids, h0[0], c0[0], cfg)
+            x = h_seq
+            h_last.append(hT)
+            c_last.append(cT)
+            continue
         if l == 0:
             # one-hot @ W == row gather of W (root lstm.cc:169). "onehot"
             # mode keeps it a GEMM so the backward (dW) is a GEMM too,

@@ -7,6 +7,7 @@ parity tests instead of a compile-time #ifdef.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -47,7 +48,12 @@ def select_cell_fn(backend: str, mcfg: ModelConfig, batch: int) -> Optional[obje
                     f"platform {jax.devices()[0].platform}"
                 )
             return None
-        from .pallas_cell import pallas_scan_layer
+        from . import pallas_cell as pc
 
-        return pallas_scan_layer
+        cell_fn = pc.pallas_scan_layer
+        if pc.embed_supported(mcfg, batch):
+            # expose the fused-embedding layer-0 kernel to models.forward
+            cell_fn = functools.partial(pc.pallas_scan_layer)
+            cell_fn.embed_layer0 = pc.pallas_embed_layer0
+        return cell_fn
     raise ValueError(f"unknown backend {backend!r}")

@@ -251,6 +251,7 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
         )
 
     fused_seq.defvjp(fused_seq_fwd, fused_seq_bwd)
+    fused_seq.bwd_call = bwd_call   # reused by the fused-embedding variant
     return fused_seq
 
 
@@ -270,6 +271,179 @@ def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
     xdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     h_seq, (hT, cT) = fn(
         layer.U.astype(cfg.cdtype), xw.astype(xdtype),
+        h0.astype(jnp.float32), c0.astype(jnp.float32),
+    )
+    return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))
+
+
+# ---------------------------------------------------------------------------
+# Fused-embedding variant (layer 0): the per-step input contribution W·x is
+# computed INSIDE the kernel as onehot(ids) concatenated with h_{t-1} against
+# the stacked weight [W; U] — one MXU matmul per step, eliminating the
+# precomputed xw stream entirely ((S·B, 4N) — the recurrence's largest HBM
+# traffic). This is the full TPU-native fusion of the reference's
+# per-timestep W·x_t + U·h_{t-1} GEMM pair (root lstm.cc:176).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_embed_kernel(n, m, variant, cdtype, WU_ref, b_ref, ids_ref, h0_ref,
+                      c0_ref, hseq_ref, cseq_ref, gseq_ref, h_s, c_s, xh_s):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:].astype(jnp.float32)
+        c_s[:] = c0_ref[:].astype(jnp.float32)
+
+    b_sz = h_s.shape[0]
+    ids_t = ids_ref[t]                                   # (B,) int32
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b_sz, m), 1)
+    onehot = (cols == ids_t[:, None]).astype(cdtype)
+    xh_s[:, :m] = onehot
+    xh_s[:, m:] = h_s[:].astype(cdtype)
+    g_pre = (
+        jnp.dot(xh_s[:], WU_ref[:], preferred_element_type=jnp.float32)
+        + b_ref[:]
+    )
+    iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
+    u = jnp.tanh(g_pre[:, 3 * n :])
+    i = iof[:, :n]
+    o = iof[:, n : 2 * n]
+    f = iof[:, 2 * n : 3 * n]
+    c_raw = i * u + f * c_s[:]
+    if variant == "reference":
+        c_carry = jnp.tanh(c_raw)
+        h = o * c_carry
+    else:
+        c_carry = c_raw
+        h = o * jnp.tanh(c_raw)
+    h_s[:] = h
+    c_s[:] = c_carry
+    hseq_ref[0] = h.astype(hseq_ref.dtype)
+    cseq_ref[0] = c_carry.astype(cseq_ref.dtype)
+    gseq_ref[0] = jnp.concatenate([iof, u], axis=-1).astype(gseq_ref.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
+                          cdtype_name: str, rdtype_name: str, interpret: bool):
+    """custom-VJP fused layer-0 sequence op: (WU, b, ids, h0, c0) ->
+    (h_seq, (hT, cT)). WU is the stacked (M+N, 4N) weight at the compute
+    dtype; backward reuses the standard reverse-time kernel with U = WU[M:]
+    and batches dW/dU/db into large GEMMs/sums outside."""
+    cdtype = jnp.dtype(cdtype_name).type
+    rdtype = jnp.dtype(rdtype_name).type
+    f32 = jnp.float32
+    xdtype = jnp.bfloat16 if cdtype_name == "bfloat16" else f32
+    base = _make_fused_seq(s, b, n, variant, cdtype_name, rdtype_name, interpret)
+
+    def fwd_call(WU, bvec, ids, h0, c0):
+        return pl.pallas_call(
+            functools.partial(_fwd_embed_kernel, n, m, variant, cdtype),
+            grid=(s,),
+            in_specs=[
+                pl.BlockSpec((m + n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                # the full (S, B) id matrix is tiny — keep it resident and
+                # index by program_id (a (1, B) block violates Mosaic's
+                # sublane tiling)
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, b, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, 4 * n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((s, b, n), rdtype),
+                jax.ShapeDtypeStruct((s, b, n), rdtype),
+                jax.ShapeDtypeStruct((s, b, 4 * n), rdtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b, n), f32),
+                pltpu.VMEM((b, n), f32),
+                pltpu.VMEM((b, m + n), cdtype),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * s * b * (m + n) * 4 * n,
+                bytes_accessed=(
+                    (m + n) * 4 * n * 4 + s * b * (4 + n * 4 * 2)
+                ),
+                transcendentals=s * b * 5 * n,
+            ),
+            interpret=interpret,
+        )(WU, bvec, ids, h0, c0)
+
+    @jax.custom_vjp
+    def fused_embed_seq(WU, bvec, ids, h0, c0):
+        h_seq, c_seq, _ = fwd_call(WU, bvec, ids, h0, c0)
+        return h_seq, (h_seq[s - 1], c_seq[s - 1])
+
+    def fwd(WU, bvec, ids, h0, c0):
+        h_seq, c_seq, g_seq = fwd_call(WU, bvec, ids, h0, c0)
+        out = (h_seq, (h_seq[s - 1], c_seq[s - 1]))
+        return out, (WU, h_seq, c_seq, g_seq, ids, h0, c0)
+
+    def bwd(res, cot):
+        WU, h_seq, c_seq, g_seq, ids, h0, c0 = res
+        dh_seq, (dhT, dcT) = cot
+        U = WU[m:]
+        # reuse the standard reverse-time kernel (it only needs U)
+        dg_seq, dh0, dc0 = base.bwd_call(
+            U, g_seq, c_seq, c0.astype(jnp.float32),
+            dh_seq.astype(jnp.float32),
+            dhT.astype(jnp.float32), dcT.astype(jnp.float32),
+        )
+        dg_flat = dg_seq.reshape(s * b, 4 * n)
+        # dU = h_prev^T dg ; dW = onehot(ids)^T dg — both as single GEMMs
+        h_prev = jnp.concatenate(
+            [h0[None].astype(h_seq.dtype), h_seq[:-1]], axis=0
+        ).reshape(s * b, n)
+        onehot = jax.nn.one_hot(ids.reshape(s * b), m, dtype=cdtype)
+        dW = jax.lax.dot_general(
+            onehot, dg_flat.astype(cdtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dU = jax.lax.dot_general(
+            h_prev.astype(cdtype), dg_flat.astype(cdtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dWU = jnp.concatenate([dW, dU], axis=0).astype(WU.dtype)
+        db = jnp.sum(dg_flat.astype(f32), axis=0, keepdims=True)
+        return (dWU, db, None, dh0.astype(h0.dtype), dc0.astype(c0.dtype))
+
+    fused_embed_seq.defvjp(fwd, bwd)
+    return fused_embed_seq
+
+
+def embed_supported(cfg: ModelConfig, batch: int) -> bool:
+    """VMEM gate for the fused-embedding layer-0 kernel: the stacked
+    (M+N, 4N) weight must fit alongside the working set."""
+    n, m = cfg.hidden, cfg.vocab
+    if n % 128 != 0 or m % 128 != 0 or batch % 8 != 0:
+        return False
+    bytes_per = 2 if cfg.compute_dtype == "bfloat16" else 4
+    return (m + n) * 4 * n * bytes_per <= 8 * 1024 * 1024
+
+
+def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig):
+    """Layer-0 recurrence with the embedding fused into the kernel.
+    ids: (S, B) int32. Same return contract as pallas_scan_layer."""
+    s, b = ids.shape
+    n, m = cfg.hidden, cfg.vocab
+    fn = _make_fused_embed_seq(
+        s, b, n, m, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
+        jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
+        _use_interpret(),
+    )
+    WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
+    bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)
+    h_seq, (hT, cT) = fn(
+        WU, bvec, ids.astype(jnp.int32),
         h0.astype(jnp.float32), c0.astype(jnp.float32),
     )
     return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))

@@ -141,3 +141,42 @@ def test_bf16_compute_and_residual_parity(residual_dtype):
         scale = float(jnp.max(jnp.abs(a))) + 1e-12
         err = float(jnp.max(jnp.abs(a - b))) / scale
         assert err < 0.05, f"{jax.tree_util.keystr(path)}: {err}"
+
+
+@pytest.mark.parametrize("variant", ["reference", "standard"])
+def test_fused_embedding_layer0_parity(variant):
+    """The fused-embedding kernel (onehot ++ h vs stacked [W;U], one matmul
+    per step, no xw stream) must match the oracle in loss AND all grads."""
+    from eigen_lstm_tpu.ops import pallas_cell as pc
+
+    cfg = ModelConfig(
+        vocab=128, hidden=N, num_layers=1, cell_variant=variant,
+        loss_mode="all", seed=0,
+    )
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (S, B)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (S, B)), jnp.int32)
+    h0 = jnp.asarray(rng.normal(size=(1, B, N)) * 0.1, jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(1, B, N)) * 0.1, jnp.float32)
+
+    import functools as ft
+
+    cell_fn = ft.partial(pc.pallas_scan_layer)
+    cell_fn.embed_layer0 = pc.pallas_embed_layer0
+
+    l_ref = float(model.loss_fn(params, ids, targets, h0, c0, cfg)[0])
+    l_fus = float(model.loss_fn(params, ids, targets, h0, c0, cfg, cell_fn=cell_fn)[0])
+    np.testing.assert_allclose(l_fus, l_ref, rtol=1e-5)
+
+    g_ref = jax.grad(lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg)[0])(params)
+    g_fus = jax.grad(
+        lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg, cell_fn=cell_fn)[0]
+    )(params)
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0], jax.tree_util.tree_leaves(g_fus)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6,
+            err_msg=f"fused-embed grad mismatch at {jax.tree_util.keystr(path)}",
+        )
