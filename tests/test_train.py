@@ -265,3 +265,26 @@ def test_eval_tiny_test_split():
     assert np.isfinite(bpc) and 0 < bpc < 10
     with pytest.raises(ValueError, match="too small"):
         eval_mod.evaluate_bpc(tr.state.params, tiny[:1], tr.mcfg)
+
+
+def test_timed_eval_cadence_writes_rows_and_samples(tmp_path):
+    """The reference's every-interval block (eval + results row + checkpoint
+    + sample dump, class_CUDA/lstm.cc:188-238) end-to-end."""
+    tcfg = TrainConfig(
+        lr=0.1, superstep=5, eval_every_s=0.0, eval_chars=500,
+        sample_chars=32, checkpoint_dir=str(tmp_path), log_every=5,
+    )
+    tr = make_trainer(tcfg=tcfg, results_path=str(tmp_path / "res.jsonl"))
+    tr.run(steps=15, quiet=True)
+    assert len(tr.table.rows) >= 2
+    row = tr.table.rows[-1]
+    assert np.isfinite(row.test_bpc) and row.step > 0
+    assert (tmp_path / "ckpt.npz").exists()
+    samples = list(tmp_path.glob("sample_step*.txt"))
+    assert samples, "no sample dumps written"
+    assert len(samples[0].read_text()) == 32
+    import json
+
+    with open(tmp_path / "res.jsonl") as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == len(tr.table.rows)
