@@ -64,6 +64,10 @@ def make_dp_superstep(
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
             )
+            # keep the pre-step recurrent state so one bad step can't poison
+            # this shard's streams until they wrap (see trainer.py)
+            h2 = jnp.where(finite, h2, state.h.astype(h2.dtype))
+            c2 = jnp.where(finite, c2, state.c.astype(c2.dtype))
         grads = jax.lax.pmean(grads, axis)
         bits = jax.lax.pmean(bits, axis)
         newpos, wrapped = corpus_mod.advance_positions(state.positions, stride, length, seq)

@@ -38,7 +38,12 @@ def lstm_flops_per_char(cfg: ModelConfig, loss_mode: Optional[str] = None) -> fl
     Counted per timestep per stream (the reference divides by iterations*B):
       fwd:  2*(in_dim*4N) [x@W] + 2*(N*4N) [h@U] + ~40N eltwise
       head: 2*(N*M) + ~8M softmax  (only on loss-bearing steps)
-      bwd:  2x the above matmul FLOPs
+      bwd:  2x the above matmul FLOPs — EXCEPT layer 0's input GEMM, which
+      has no dgrad (the inputs are byte ids, nothing propagates below), and
+      whose fwd counts as zero model-FLOPs in gather-embedding modes
+      ("auto"/"gather": x@W is a column gather of W, SURVEY.md §2.2 — the
+      kernels may still spend MXU cycles one-hot-multiplying, but those are
+      not *model* FLOPs and must not inflate MFU).
     Adagrad adds ~8 FLOPs per parameter per *step* — amortized per char by
     the caller if desired (negligible at S>=25).
     """
@@ -47,8 +52,14 @@ def lstm_flops_per_char(cfg: ModelConfig, loss_mode: Optional[str] = None) -> fl
     total = 0.0
     for l in range(cfg.num_layers):
         in_dim = m if l == 0 else n
-        gemm = 2.0 * in_dim * 4 * n + 2.0 * n * 4 * n
-        total += 3.0 * gemm + 40.0 * n  # fwd + (dgrad+wgrad) + eltwise
+        gemm_x = 2.0 * in_dim * 4 * n
+        gemm_h = 2.0 * n * 4 * n
+        if l == 0:
+            # wgrad always; fwd only when the embedding is a real matmul
+            x_mult = 2.0 if cfg.embedding_mode == "onehot" else 1.0
+        else:
+            x_mult = 3.0  # fwd + dgrad + wgrad
+        total += x_mult * gemm_x + 3.0 * gemm_h + 40.0 * n
     head = 2.0 * n * m + 8.0 * m
     if mode == "all":
         total += 3.0 * head
@@ -118,10 +129,20 @@ class ResultsTable:
 @dataclass
 class ThroughputMeter:
     """Live chars/sec + analytic GFLOP/s + MFU between report points
-    (reference live meter, ``class_batch/lstm.cc:246-267``)."""
+    (reference live meter, ``class_batch/lstm.cc:246-267``). The MFU
+    denominator follows the compute dtype: bf16 matmuls rate against the
+    bf16 MXU peak, fp32/fp64 against the fp32 peak."""
 
     cfg: ModelConfig
-    peak_flops: float = TPU_V5E_PEAK_BF16
+    peak_flops: Optional[float] = None
+
+    def __post_init__(self):
+        if self.peak_flops is None:
+            self.peak_flops = (
+                TPU_V5E_PEAK_BF16
+                if self.cfg.compute_dtype == "bfloat16"
+                else TPU_V5E_PEAK_FP32
+            )
 
     def rates(self, chars: int, seconds: float):
         cps = chars / max(seconds, 1e-9)

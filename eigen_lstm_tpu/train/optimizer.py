@@ -33,22 +33,35 @@ def adagrad_init(params: PyTree) -> PyTree:
     return jax.tree_util.tree_map(jnp.zeros_like, params)
 
 
-def global_norm(grads: PyTree, psum_axis=None) -> jax.Array:
+def global_norm(grads: PyTree, psum_axis=None, replicated: PyTree = None) -> jax.Array:
     """L2 norm over the whole pytree; with ``psum_axis`` the squared sums are
     additionally summed over that mesh axis (parameter-sharded training —
-    e.g. tensor parallelism — where each device holds distinct shards)."""
+    e.g. tensor parallelism — where each device holds distinct shards).
+
+    ``replicated``: optional bool pytree (same structure) marking leaves that
+    are *replicated* across ``psum_axis`` — every shard holds the identical
+    grad, so their squared sum is pre-divided by the axis size to keep the
+    psum'd norm equal to the canonical single-device norm."""
     leaves = jax.tree_util.tree_leaves(grads)
-    sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves)
+    if psum_axis is not None and replicated is not None:
+        rep = jax.tree_util.tree_leaves(replicated)
+        size = jax.lax.psum(1, psum_axis)
+        sq = sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32))) / (size if r else 1)
+            for g, r in zip(leaves, rep)
+        )
+    else:
+        sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves)
     if psum_axis is not None:
         sq = jax.lax.psum(sq, psum_axis)
     return jnp.sqrt(sq)
 
 
 def clip_by_global_norm(
-    grads: PyTree, max_norm: float, psum_axis=None
+    grads: PyTree, max_norm: float, psum_axis=None, replicated: PyTree = None
 ) -> Tuple[PyTree, jax.Array]:
     """Scale grads so the global L2 norm is at most ``max_norm``."""
-    gnorm = global_norm(grads, psum_axis)
+    gnorm = global_norm(grads, psum_axis, replicated)
     scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-20))
     return jax.tree_util.tree_map(lambda g: g * scale.astype(g.dtype), grads), gnorm
 
@@ -92,14 +105,16 @@ def apply_updates(
     step: jax.Array,
     cfg: TrainConfig,
     psum_axis=None,
+    replicated: PyTree = None,
 ) -> Tuple[PyTree, PyTree, jax.Array]:
     """Full optimizer pipeline: clip → warm-up LR → Adagrad.
     Returns (params, m, grad_norm). ``psum_axis``: mesh axis over which the
-    parameters are *sharded* (TP) — norms are summed across it."""
+    parameters are *sharded* (TP) — norms are summed across it;
+    ``replicated`` marks the leaves that are not (see ``global_norm``)."""
     if cfg.clip_norm is not None:
-        grads, gnorm = clip_by_global_norm(grads, cfg.clip_norm, psum_axis)
+        grads, gnorm = clip_by_global_norm(grads, cfg.clip_norm, psum_axis, replicated)
     else:
-        gnorm = global_norm(grads, psum_axis)
+        gnorm = global_norm(grads, psum_axis, replicated)
     lr = warmup_lr(cfg.lr, step, cfg.warmup_steps)
     params, m = adagrad_update(params, grads, m, lr, cfg.adagrad_eps)
     return params, m, gnorm

@@ -72,11 +72,15 @@ def make_superstep(
         )(state.params, x, t, state.h, state.c, mcfg, cell_fn)
         if tcfg.skip_nonfinite:
             # reference skips NaN losses silently (cu_lstm.h:210-211); we
-            # zero the grads so the Adagrad update is a no-op that step
+            # zero the grads so the Adagrad update is a no-op that step, and
+            # keep the pre-step recurrent state so one bad step can't poison
+            # every stream's hidden state until it wraps
             finite = jnp.isfinite(loss)
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
             )
+            h2 = jnp.where(finite, h2, state.h.astype(h2.dtype))
+            c2 = jnp.where(finite, c2, state.c.astype(c2.dtype))
         newpos, wrapped = corpus_mod.advance_positions(
             state.positions, stride, length, seq
         )
@@ -139,7 +143,10 @@ class Trainer:
         data-parallel over ``mesh_axis`` (shard_map + psum, parallel/dp.py;
         the global batch is split across devices); ``parallel="tp"`` trains
         tensor-parallel (gate-sharded weights, parallel/tp.py; every device
-        sees the full batch, weights are sharded)."""
+        sees the full batch, weights are sharded); ``parallel="dp_tp"``
+        trains on a 2-D ("data", "model") mesh (parallel/dp_tp.py);
+        ``parallel="pp"`` pipelines layer blocks across a stage mesh
+        (parallel/pp.py — num_layers must divide by the mesh size)."""
         self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
         self.train_np = train_data
         self.test_np = test_data
@@ -175,6 +182,47 @@ class Trainer:
                 axis,
             )
             self.superstep = tp_mod.make_tp_superstep(
+                mcfg, dcfg, tcfg, self.corpus, mesh, axis
+            )
+        elif mesh is not None and parallel == "dp_tp":
+            from ..parallel import dp_tp as dp_tp_mod
+            from ..parallel import tp as tp_mod
+
+            n_model = mesh.shape["model"]
+            self._to_canonical = lambda p: tp_mod.unpermute_params_from_tp(
+                jax.device_get(p), n_model
+            )
+            self._from_canonical = lambda p: tp_mod.permute_params_for_tp(p, n_model)
+            self._shard = lambda s: dp_tp_mod.shard_dp_tp_state(
+                dataclasses.replace(
+                    s,
+                    params=self._from_canonical(s.params),
+                    m=self._from_canonical(s.m),
+                ),
+                mesh,
+                mcfg,
+            )
+            self.superstep = dp_tp_mod.make_dp_tp_superstep(
+                mcfg, dcfg, tcfg, self.corpus, mesh
+            )
+        elif mesh is not None and parallel == "pp":
+            from ..parallel import pp as pp_mod
+
+            axis = mesh.axis_names[0]
+            self._to_canonical = lambda p: pp_mod.pp_params_to(
+                jax.device_get(p), mcfg
+            )
+            self._from_canonical = lambda p: pp_mod.pp_params_from(p, mcfg)
+            self._shard = lambda s: pp_mod.shard_pp_state(
+                dataclasses.replace(
+                    s,
+                    params=self._from_canonical(s.params),
+                    m=self._from_canonical(s.m),
+                ),
+                mesh,
+                axis,
+            )
+            self.superstep = pp_mod.make_pp_superstep(
                 mcfg, dcfg, tcfg, self.corpus, mesh, axis
             )
         elif mesh is not None:

@@ -74,6 +74,53 @@ def test_warmup_freezes_params():
     assert np.any(np.asarray(tr.state.m.Why) != m0)
 
 
+def test_default_recipe_converges_on_enwik5():
+    """Convergence regression (VERDICT r1): the CLI's resolved defaults must
+    actually train — bpc drops well below the ~4.85 stall seen at bad lr
+    within a short budget on a real corpus slice."""
+    data = np.fromfile("data/enwik5.txt", dtype=np.uint8)
+    mcfg = ModelConfig(hidden=64, num_layers=1, loss_mode="all", seed=0)
+    dcfg = DataConfig(batch=16, seq=25, train_percent=0.95)
+    # mirror cli._configs resolution: hidden<512 -> lr 0.1; warmup capped
+    tcfg = TrainConfig(
+        lr=0.1, warmup_steps=min(50 * 25, 400 // 10), superstep=20,
+        eval_every_s=1e9,
+    )
+    train, test = corpus_mod.split(data, dcfg.train_percent)
+    tr = Trainer(mcfg, dcfg, tcfg, train, test)
+    tr.run(steps=400, quiet=True)
+    assert tr.last_metrics["train_bpc"] < 3.6, tr.last_metrics
+
+
+def test_nonfinite_step_preserves_recurrent_state():
+    """A non-finite loss must be a full no-op: grads zeroed AND the streams'
+    h/c kept at their pre-step values, so one bad step can't poison every
+    stream until it wraps (ADVICE r1). Forced by poisoning the head weights."""
+    import dataclasses
+
+    tcfg = TrainConfig(lr=0.1, superstep=1, warmup_steps=0, eval_every_s=1e9)
+    tr = make_trainer(tcfg=tcfg)
+    # establish a nonzero recurrent state first
+    tr.state, _ = tr.superstep(tr.state)
+    h_before = np.asarray(tr.state.h).copy()
+    c_before = np.asarray(tr.state.c).copy()
+    w_before = np.asarray(tr.state.params.layers[0].W).copy()
+    poisoned = dataclasses.replace(
+        tr.state,
+        params=dataclasses.replace(
+            tr.state.params, Why=tr.state.params.Why * jnp.nan
+        ),
+    )
+    new_state, metrics = tr.superstep(poisoned)
+    assert not np.isfinite(float(metrics["bits_mean"]))
+    np.testing.assert_array_equal(np.asarray(new_state.h), h_before)
+    np.testing.assert_array_equal(np.asarray(new_state.c), c_before)
+    # the update itself was skipped (W untouched by NaN grads)
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params.layers[0].W), w_before
+    )
+
+
 def test_grad_clipping_bounds_norm():
     grads = {"a": jnp.full((10,), 100.0), "b": jnp.full((5,), -50.0)}
     clipped, gnorm = opt_mod.clip_by_global_norm(grads, 1.0)
