@@ -129,6 +129,7 @@ class TrainConfig:
     sample_chars: int = 1000      # chars sampled per report, root lstm.cc:293
     checkpoint_dir: Optional[str] = None
     superstep: int = 50           # inner jitted steps per host round-trip
+    pp_chunks: int = 4            # pipeline microbatch chunks (must divide seq)
     seed: int = 1234
 
 

@@ -76,6 +76,10 @@ def make_dp_tp_superstep(
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
             )
+            # keep the pre-step recurrent state so one bad step can't poison
+            # every stream's hidden state until it wraps (see trainer.py)
+            h2 = jnp.where(finite, h2, state.h.astype(h2.dtype))
+            c2 = jnp.where(finite, c2, state.c.astype(c2.dtype))
         newpos, wrapped = corpus_mod.advance_positions(
             state.positions, stride, length, seq
         )
@@ -98,7 +102,8 @@ def make_dp_tp_superstep(
             h2 = jnp.zeros_like(state.h)
             c2 = jnp.zeros_like(state.c)
         params, m, gnorm = opt_mod.apply_updates(
-            state.params, grads, state.m, state.step, tcfg, psum_axis="model"
+            state.params, grads, state.m, state.step, tcfg, psum_axis="model",
+            replicated=tp_mod.tp_replicated_mask(mcfg, "model"),
         )
         return TrainState(params, m, h2, c2, newpos, state.step + 1, key), (bits, gnorm)
 

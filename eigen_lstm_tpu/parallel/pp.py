@@ -1,28 +1,36 @@
 """Pipeline parallelism: stacked LSTM layers across a ``stage`` mesh axis
-with sequence-chunk microbatching.
+with sequence-chunk microbatching — a full *training* path.
 
 A stacked LSTM's layer l consumes the *full hidden sequence* of layer l-1,
 so layers can be pipelined over devices GPipe-style, with the sequence cut
-into C chunks as the microbatch unit: at pipeline tick k, stage l processes
-chunk ``k - l`` (when ``0 <= k-l < C``) and hands its hidden-sequence chunk
-to stage l+1 over ICI (``ppermute``). Each stage carries its own (h_l, c_l)
+into C chunks as the microbatch unit: at pipeline tick k, stage s processes
+chunk ``k - s`` (when ``0 <= k-s < C``) through its block of
+``layers_per_stage`` layers and hands the top hidden-sequence chunk to stage
+s+1 over ICI (``ppermute``). Each stage carries its own per-layer (h, c)
 recurrent state across *its* chunks in order, so the recurrence semantics
-are exactly the single-device stacked scan. Total ticks = C + L - 1; bubble
-fraction = (L-1)/(C+L-1).
+are exactly the single-device stacked scan. Total ticks = C + S - 1 for S
+stages; bubble fraction = (S-1)/(C+S-1).
 
 The whole schedule is one ``lax.scan`` over ticks inside ``shard_map``;
 backward is ``jax.grad`` straight through the ``ppermute`` (its transpose is
 the reverse permute), which yields the reverse pipeline schedule
 automatically. The reference has no parallelism of any kind (SURVEY.md
 §2.4) — this is TPU-native new capability; exactness vs the single-device
-stacked model is gated by tests/test_pp.py.
+stacked model is gated by tests/test_pp.py (loss/grad AND a full
+training-superstep parity test).
 
-Layout: stage s holds layer s's weights. Because layer 0's input weight is
-(M, 4N) (byte embedding) while layers >0 take (N, 4N), the per-stage input
-weight is stored padded to (max(M, N), 4N); stage 0 uses rows [0, M) as the
-embedding table, other stages use rows [0, N). Why/by live replicated; only
-the last stage's loss contributes (vma-checked shard_map reduces their
-gradients across stages automatically).
+Layout: stage s holds layers [s·L/S, (s+1)·L/S). Because layer 0's input
+weight is (M, 4N) (byte embedding) while other layers take (N, 4N), the
+per-layer input weight is stored padded to (max(M, N), 4N); global layer 0
+uses rows [0, M) as the embedding table, all others rows [0, N). Why/by
+live replicated; only the last stage's loss contributes (vma-checked
+shard_map reduces their gradients across stages automatically via the
+pvary transpose).
+
+Both reference loss modes are supported: ``loss_mode="all"`` scores every
+timestep (``lstm_segment.cc:197-206``); ``"last"`` scores only t = S-1,
+i.e. the final timestep of the final chunk on the final stage
+(``class_batch/lstm.cc:308-317``).
 """
 
 from __future__ import annotations
@@ -35,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import ModelConfig
+from ..config import DataConfig, ModelConfig, TrainConfig
 from ..models import lstm as model
 from ..ops import cell as cell_ops
 
@@ -94,33 +102,40 @@ def pp_specs(axis: str = "stage") -> PPParams:
     )
 
 
+def pp_replicated_mask() -> PPParams:
+    """Bool pytree marking params replicated across the stage axis — their
+    grads come back already reduced (pvary transpose), so the optimizer's
+    grad-norm psum must not multiply them by the stage count
+    (optimizer.global_norm)."""
+    return PPParams(W_pad=False, U=False, b=False, Why=True, by=True)
+
+
 def pp_loss_fn(
-    pp: PPParams,        # shard-local: leading stage dim is 1
+    pp: PPParams,        # shard-local: leading dim = layers per stage
     ids: jax.Array,      # (S, B) replicated
     targets: jax.Array,  # (S, B) replicated
-    h0: jax.Array,       # (1, B, N) — this stage's layer state
+    h0: jax.Array,       # (lps, B, N) — this stage's per-layer state
     c0: jax.Array,
     cfg: ModelConfig,
     n_chunks: int,
     axis: str = "stage",
-) -> Tuple[jax.Array, jax.Array]:
-    """Pipelined forward + softmax-CE loss (loss_mode='all').
-    Returns (loss, mean_bits), replicated across stages."""
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
+    """Pipelined forward + softmax-CE loss (both loss modes).
+    Returns (loss, (hT, cT, mean_bits)); loss/mean_bits replicated across
+    stages, hT/cT shard-local final recurrent state (for stream carry)."""
     s, b_ = ids.shape
     n = cfg.hidden
     n_stages = jax.lax.axis_size(axis)
     sidx = jax.lax.axis_index(axis)
+    lps = pp.U.shape[0]  # layers per stage (shard-local leading dim)
     assert s % n_chunks == 0, "seq must divide into chunks"
     cl = s // n_chunks
 
-    W = pp.W_pad[0]
-    U = pp.U[0]
-    bvec = pp.b[0].astype(cfg.adtype)
     ids_chunks = ids.reshape(n_chunks, cl, b_)
     tgt_chunks = targets.reshape(n_chunks, cl, b_)
     perm = [(i, i + 1) for i in range(n_stages - 1)]
 
-    def cell_scan(xw, h, c):
+    def cell_scan(xw, h, c, U):
         def step(carry, xw_t):
             h_prev, c_prev = carry
             g_pre = xw_t + cell_ops.matmul(h_prev, U, cfg.cdtype)
@@ -137,36 +152,54 @@ def pp_loss_fn(
         chunk_idx = jnp.clip(k - sidx, 0, n_chunks - 1)
         active = (k >= sidx) & (k - sidx < n_chunks)
 
-        # stage 0 embeds its ids chunk; later stages transform the received
-        # hidden chunk. Both are computed (static shapes) and selected.
         my_ids = jax.lax.dynamic_index_in_dim(ids_chunks, chunk_idx, 0, False)
-        xw_embed = W[my_ids].astype(cfg.adtype)
-        xw_hidden = cell_ops.matmul(
-            buf.reshape(cl * b_, n), W[:n], cfg.cdtype, cfg.adtype
-        ).reshape(cl, b_, 4 * n)
-        xw = jnp.where(sidx == 0, xw_embed, xw_hidden) + bvec
-
-        h_seq, hT, cT = cell_scan(xw, h, c)
-        h = jnp.where(active, hT, h)
-        c = jnp.where(active, cT, c)
+        # run the stage's block of layers on this chunk. Global layer 0
+        # (stage 0, local 0) embeds its ids chunk; every other layer
+        # transforms the hidden chunk below it. Both are computed (static
+        # shapes) and selected, as in the single-layer schedule.
+        x = buf
+        new_h, new_c = [], []
+        for j in range(lps):
+            W = pp.W_pad[j]
+            bvec = pp.b[j].astype(cfg.adtype)
+            xw_hidden = cell_ops.matmul(
+                x.reshape(cl * b_, n), W[:n], cfg.cdtype, cfg.adtype
+            ).reshape(cl, b_, 4 * n)
+            if j == 0:
+                xw_embed = W[my_ids].astype(cfg.adtype)
+                xw = jnp.where(sidx == 0, xw_embed, xw_hidden) + bvec
+            else:
+                xw = xw_hidden + bvec
+            h_seq, hT, cT = cell_scan(xw, h[j], c[j], pp.U[j])
+            x = h_seq
+            new_h.append(jnp.where(active, hT, h[j]))
+            new_c.append(jnp.where(active, cT, c[j]))
+        h = jnp.stack(new_h)
+        c = jnp.stack(new_c)
 
         # last stage scores its chunk
         my_tgt = jax.lax.dynamic_index_in_dim(tgt_chunks, chunk_idx, 0, False)
-        logits = model.logits_from_h(
-            model.LSTMParams((), pp.Why, pp.by), h_seq, cfg
-        )
-        chunk_bits = jnp.sum(model.softmax_xent_bits(logits, my_tgt))
         is_last = sidx == n_stages - 1
-        bits_acc = bits_acc + jnp.where(active & is_last, chunk_bits, 0.0)
+        if cfg.loss_mode == "last":
+            # only t = S-1 scores: final timestep of the final chunk
+            logits = model.logits_from_h(
+                model.LSTMParams((), pp.Why, pp.by), x[-1], cfg
+            )
+            chunk_bits = jnp.sum(model.softmax_xent_bits(logits, my_tgt[-1]))
+            scored = active & is_last & (chunk_idx == n_chunks - 1)
+        else:
+            logits = model.logits_from_h(
+                model.LSTMParams((), pp.Why, pp.by), x, cfg
+            )
+            chunk_bits = jnp.sum(model.softmax_xent_bits(logits, my_tgt))
+            scored = active & is_last
+        bits_acc = bits_acc + jnp.where(scored, chunk_bits, 0.0).astype(bits_acc.dtype)
 
-        # hand the hidden chunk to the next stage
-        out_buf = h_seq
+        # hand the top hidden chunk to the next stage
+        out_buf = x
         if n_stages > 1:
-            out_buf = jax.lax.ppermute(h_seq, axis, perm)
-        return (buf_like(out_buf), h, c, bits_acc), None
-
-    def buf_like(x):
-        return x.astype(cfg.pdtype)
+            out_buf = jax.lax.ppermute(x, axis, perm)
+        return (out_buf.astype(cfg.pdtype), h, c, bits_acc), None
 
     def _varying(x):
         # the carried buffer/accumulator become stage-varying inside the loop;
@@ -176,34 +209,43 @@ def pp_loss_fn(
         return jax.lax.pvary(x, (axis,))
 
     buf0 = _varying(jnp.zeros((cl, b_, n), cfg.pdtype))
-    bits0 = _varying(jnp.zeros((), jnp.float32))
-    (_, _, _, bits_acc), _ = jax.lax.scan(
+    bits0 = _varying(jnp.zeros((), cfg.adtype))
+    (_, hT, cT, bits_acc), _ = jax.lax.scan(
         tick,
-        (buf0, h0[0], c0[0], bits0),
+        (buf0, h0, c0, bits0),
         jnp.arange(n_chunks + n_stages - 1),
     )
     total = jax.lax.psum(bits_acc, axis)   # only the last stage contributed
-    mean_bits = total / (s * b_)
+    denom = b_ if cfg.loss_mode == "last" else s * b_
+    mean_bits = total / denom
     loss = mean_bits if cfg.loss_base == "2" else mean_bits * model.LN2
-    return loss, mean_bits
+    return loss, (hT, cT, mean_bits)
+
+
+def _check_stages(num_layers: int, n_stages: int):
+    if num_layers % n_stages != 0:
+        raise ValueError(
+            f"pipeline needs layers divisible by stages: {num_layers} layers "
+            f"vs {n_stages} devices"
+        )
 
 
 def make_pp_loss_and_grad(
     mcfg: ModelConfig, mesh: Mesh, n_chunks: int, axis: str = "stage"
 ):
     """jitted ((loss, bits), grads) over the stage mesh. ``mcfg.num_layers``
-    must equal the mesh size; params via ``pp_params_from`` + ``shard_pp``."""
-    if mcfg.num_layers != mesh.devices.size:
-        raise ValueError(
-            f"pipeline needs one stage per layer: {mcfg.num_layers} layers "
-            f"vs {mesh.devices.size} devices"
-        )
+    must divide evenly over the mesh; params via ``pp_params_from`` +
+    ``shard_pp``."""
+    _check_stages(mcfg.num_layers, mesh.devices.size)
     pspecs = pp_specs(axis)
     state_spec = P(axis, None, None)
 
     def local(pp, ids, targets, h0, c0):
         def loss_of(q):
-            return pp_loss_fn(q, ids, targets, h0, c0, mcfg, n_chunks, axis)
+            loss, (hT, cT, bits) = pp_loss_fn(
+                q, ids, targets, h0, c0, mcfg, n_chunks, axis
+            )
+            return loss, bits
 
         (loss, bits), grads = jax.value_and_grad(loss_of, has_aux=True)(pp)
         # Why/by live replicated; under vma-checked shard_map their grads
@@ -220,7 +262,123 @@ def make_pp_loss_and_grad(
     return jax.jit(mapped)
 
 
+def make_pp_superstep(
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    tcfg: TrainConfig,
+    corpus: jax.Array,
+    mesh: Mesh,
+    axis: str = "stage",
+    donate: bool = True,
+):
+    """Full jitted K-step *training* superstep over the stage mesh: window
+    gather → pipelined fwd/bwd → Adagrad → cursor advance → stream-state
+    carry, mirroring trainer.make_superstep step-for-step so PP training is
+    bitwise-comparable to the single-device path (tests/test_pp.py)."""
+    from ..data import corpus as corpus_mod
+    from ..train import optimizer as opt_mod
+    from ..train.trainer import TrainState
+
+    _check_stages(mcfg.num_layers, mesh.devices.size)
+    length = int(corpus.shape[0])
+    stride = dcfg.effective_stride
+    seq = dcfg.seq
+    n_chunks = tcfg.pp_chunks
+    if seq % n_chunks != 0:
+        raise ValueError(f"seq {seq} not divisible by pp_chunks {n_chunks}")
+
+    def inner(state: TrainState, _):
+        x, t = corpus_mod.make_windows(corpus, state.positions, seq)
+
+        def loss_of(q):
+            return pp_loss_fn(q, x, t, state.h, state.c, mcfg, n_chunks, axis)
+
+        (loss, (h2, c2, bits)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        if tcfg.skip_nonfinite:
+            # loss is psum'd, so all stages agree on finiteness
+            finite = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+            )
+            h2 = jnp.where(finite, h2, state.h.astype(h2.dtype))
+            c2 = jnp.where(finite, c2, state.c.astype(c2.dtype))
+        newpos, wrapped = corpus_mod.advance_positions(
+            state.positions, stride, length, seq
+        )
+        if dcfg.carry_state:
+            key, sub = jax.random.split(state.key)
+            mask = wrapped[None, :, None]
+            if dcfg.reset_std > 0.0:
+                sub = jax.random.fold_in(sub, jax.lax.axis_index(axis))
+                kh, kc = jax.random.split(sub)
+                rh = jax.random.normal(kh, h2.shape, h2.dtype) * dcfg.reset_std
+                rc = jax.random.normal(kc, c2.shape, c2.dtype) * dcfg.reset_std
+                rh = jax.lax.pvary(rh, (axis,)) if hasattr(jax.lax, "pvary") else rh
+                rc = jax.lax.pvary(rc, (axis,)) if hasattr(jax.lax, "pvary") else rc
+            else:
+                rh = jnp.zeros_like(h2)
+                rc = jnp.zeros_like(c2)
+            h2 = jnp.where(mask, rh, h2)
+            c2 = jnp.where(mask, rc, c2)
+        else:
+            key = state.key
+            h2 = jnp.zeros_like(state.h)
+            c2 = jnp.zeros_like(state.c)
+        params, m, gnorm = opt_mod.apply_updates(
+            state.params, grads, state.m, state.step, tcfg, psum_axis=axis,
+            replicated=pp_replicated_mask(),
+        )
+        return TrainState(params, m, h2, c2, newpos, state.step + 1, key), (bits, gnorm)
+
+    def local_superstep(state: TrainState):
+        state, (bits, gnorms) = jax.lax.scan(inner, state, None, length=tcfg.superstep)
+        return state, {
+            "bits_mean": jnp.mean(bits),
+            "bits_last": bits[-1],
+            "gnorm_mean": jnp.mean(gnorms),
+        }
+
+    pspecs = pp_specs(axis)
+    state_specs = TrainState(
+        params=pspecs,
+        m=pspecs,
+        h=P(axis, None, None),
+        c=P(axis, None, None),
+        positions=P(),
+        step=P(),
+        key=P(),
+    )
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    mapped = jax.shard_map(
+        local_superstep,
+        mesh=mesh,
+        in_specs=(state_specs,),
+        out_specs=(state_specs, metrics_specs),
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
 def shard_pp(pp: PPParams, mesh: Mesh, axis: str = "stage") -> PPParams:
     return jax.tree_util.tree_map(
         lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), pp, pp_specs(axis)
+    )
+
+
+def shard_pp_state(state, mesh: Mesh, axis: str = "stage"):
+    """Place a TrainState whose params/m are already in PPParams layout onto
+    the stage mesh (h/c (L, B, N) split layer-wise across stages)."""
+    from ..train.trainer import TrainState
+
+    pspecs = pp_specs(axis)
+    put = lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp))
+    return TrainState(
+        params=jax.tree_util.tree_map(put, state.params, pspecs),
+        m=jax.tree_util.tree_map(put, state.m, pspecs),
+        h=put(state.h, P(axis, None, None)),
+        c=put(state.c, P(axis, None, None)),
+        positions=put(state.positions, P()),
+        step=put(state.step, P()),
+        key=put(state.key, P()),
     )

@@ -83,6 +83,15 @@ def tp_specs(mcfg: ModelConfig, axis: str = "model"):
     )
 
 
+def tp_replicated_mask(mcfg: ModelConfig, axis: str = "model"):
+    """Bool pytree marking params replicated across the model axis (spec P()
+    — currently only ``by``); their grad-norm contribution must not be
+    multiplied by the axis size in the optimizer's psum (optimizer.global_norm)."""
+    return jax.tree_util.tree_map(
+        lambda spec: all(e is None for e in spec), tp_specs(mcfg, axis)
+    )
+
+
 def _tp_scan_layer(layer, xw, h0_d, c0_d, cfg: ModelConfig, axis: str):
     """Shard-local recurrence: xw (S, B, 4N/D), h0_d/c0_d (B, N/D).
     Uses shard-local gate order [i,o,f,u] each N/D wide."""
@@ -217,6 +226,10 @@ def make_tp_superstep(
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
             )
+            # keep the pre-step recurrent state so one bad step can't poison
+            # every stream's hidden state until it wraps (see trainer.py)
+            h2 = jnp.where(finite, h2, state.h.astype(h2.dtype))
+            c2 = jnp.where(finite, c2, state.c.astype(c2.dtype))
         newpos, wrapped = corpus_mod.advance_positions(
             state.positions, stride, length, seq
         )
@@ -240,7 +253,8 @@ def make_tp_superstep(
             h2 = jnp.zeros_like(state.h)
             c2 = jnp.zeros_like(state.c)
         params, m, gnorm = opt_mod.apply_updates(
-            state.params, grads, state.m, state.step, tcfg, psum_axis=axis
+            state.params, grads, state.m, state.step, tcfg, psum_axis=axis,
+            replicated=tp_replicated_mask(mcfg, axis),
         )
         return TrainState(params, m, h2, c2, newpos, state.step + 1, key), (bits, gnorm)
 

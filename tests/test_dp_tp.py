@@ -66,3 +66,32 @@ def test_mesh_2d_validation():
 
     with pytest.raises(ValueError, match="need"):
         dp_tp_mod.make_mesh_2d(8, 2)
+
+
+def test_dp_tp_trainer_checkpoint_roundtrip(tmp_path):
+    """Trainer(parallel='dp_tp') end-to-end: train, save, restore into a
+    fresh 2-D trainer, continue identically (CLI --dp A --tp B path)."""
+    cfg = ModelConfig(vocab=128, hidden=16, num_layers=1, loss_mode="all", seed=0)
+    dcfg = DataConfig(batch=8, seq=8, train_percent=1.0)
+    tcfg = TrainConfig(lr=0.1, superstep=2, eval_every_s=1e9)
+    data = np.tile(np.arange(31, dtype=np.uint8) + 60, 500)
+    mesh = dp_tp_mod.make_mesh_2d(4, 2)
+
+    a = Trainer(cfg, dcfg, tcfg, data, None, mesh=mesh, parallel="dp_tp")
+    a.state, _ = a.superstep(a.state)
+    path = str(tmp_path / "dp_tp_ckpt.npz")
+    a.save(path)
+
+    b = Trainer(cfg, dcfg, tcfg, data, None, mesh=mesh, parallel="dp_tp")
+    b.restore(path)
+    assert b.step == a.step
+    for x, y in zip(
+        jax.tree_util.tree_leaves(a.canonical_params()),
+        jax.tree_util.tree_leaves(b.canonical_params()),
+    ):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=0, atol=0)
+    a.state, ma = a.superstep(a.state)
+    b.state, mb = b.superstep(b.state)
+    np.testing.assert_allclose(
+        float(mb["bits_mean"]), float(ma["bits_mean"]), rtol=1e-6
+    )
