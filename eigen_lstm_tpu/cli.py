@@ -36,7 +36,13 @@ def _add_model_args(p: argparse.ArgumentParser):
                         "global --batch is split across them)")
     p.add_argument("--tp", type=int, default=None, metavar="N",
                    help="tensor-parallel over N devices (gate-sharded "
-                        "weights; --hidden must divide by N)")
+                        "weights; --hidden must divide by N). Combine with "
+                        "--dp for a 2-D (data x model) mesh")
+    p.add_argument("--pp", type=int, default=None, metavar="N",
+                   help="pipeline-parallel over N stages (--layers must "
+                        "divide by N; sequence chunked by --pp-chunks)")
+    p.add_argument("--pp-chunks", type=int, default=4,
+                   help="pipeline microbatch chunks (must divide --seq)")
 
 
 def _add_data_args(p: argparse.ArgumentParser):
@@ -52,13 +58,17 @@ def _add_data_args(p: argparse.ArgumentParser):
 
 
 def _add_train_args(p: argparse.ArgumentParser):
-    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--lr", type=float, default=None,
+                   help="default auto: 0.1 below hidden 512 (the reference's "
+                        "lr, root lstm.cc:59), 0.02 at hidden >= 512 where "
+                        "lr=0.1 stalls (measured sweep, docs/PERFORMANCE.md)")
     p.add_argument("--adagrad-eps", type=float, default=1e-10)
     p.add_argument("--clip-norm", type=float, default=None)
     p.add_argument("--warmup", type=int, default=None,
                    help="lr=0 warmup steps while Adagrad m accumulates; "
-                        "default 50*seq, the reference's recipe "
-                        "(class_CUDA/lstm.cc:364-367)")
+                        "default min(50*seq, steps//10) — the reference's "
+                        "50*seq recipe (class_CUDA/lstm.cc:364-367) capped "
+                        "so short runs still train")
     p.add_argument("--steps", type=int, default=10000)
     p.add_argument("--epochs", type=float, default=None,
                    help="train this many passes over the corpus instead of "
@@ -104,11 +114,19 @@ def _configs(args):
         carry_state=not args.no_carry,
         reset_std=args.reset_std,
     )
+    # quality defaults (VERDICT r1): resolve auto lr/warmup so the documented
+    # commands converge out of the box (measured sweep, docs/PERFORMANCE.md)
+    lr = args.lr if args.lr is not None else (0.1 if args.hidden < 512 else 0.02)
+    warmup = (
+        args.warmup
+        if args.warmup is not None
+        else min(50 * args.seq, getattr(args, "steps", 10000) // 10)
+    )
     tcfg = TrainConfig(
-        lr=args.lr,
+        lr=lr,
         adagrad_eps=args.adagrad_eps,
         clip_norm=args.clip_norm,
-        warmup_steps=args.warmup if args.warmup is not None else 50 * args.seq,
+        warmup_steps=warmup,
         steps=args.steps,
         superstep=args.superstep,
         log_every=args.log_every,
@@ -116,6 +134,7 @@ def _configs(args):
         eval_chars=args.eval_chars,
         sample_chars=args.sample_chars,
         checkpoint_dir=args.ckpt_dir,
+        pp_chunks=getattr(args, "pp_chunks", 4),
         seed=args.seed + 1,
     )
     return mcfg, dcfg, tcfg
@@ -130,19 +149,34 @@ def _make_trainer(args):
     train, test = corpus_mod.load_dataset(dcfg)
     mesh = None
     parallel = "dp"
-    if getattr(args, "dp", None) and getattr(args, "tp", None):
-        raise SystemExit("--dp and --tp are mutually exclusive (2-D mesh: future)")
-    if getattr(args, "dp", None):
+    n_dp = getattr(args, "dp", None)
+    n_tp = getattr(args, "tp", None)
+    n_pp = getattr(args, "pp", None)
+    if n_pp and (n_dp or n_tp):
+        raise SystemExit("--pp cannot be combined with --dp/--tp")
+    if n_dp and n_tp:
+        from .parallel.dp_tp import make_mesh_2d
+
+        mesh = make_mesh_2d(n_dp, n_tp)
+        parallel = "dp_tp"
+        print(f"2-D mesh: {n_dp} data x {n_tp} model devices", flush=True)
+    elif n_dp:
         from .parallel.mesh import make_mesh
 
-        mesh = make_mesh(args.dp)
-        print(f"data-parallel over {args.dp} devices", flush=True)
-    elif getattr(args, "tp", None):
+        mesh = make_mesh(n_dp)
+        print(f"data-parallel over {n_dp} devices", flush=True)
+    elif n_tp:
         from .parallel.mesh import make_mesh
 
-        mesh = make_mesh(args.tp, axis="model")
+        mesh = make_mesh(n_tp, axis="model")
         parallel = "tp"
-        print(f"tensor-parallel over {args.tp} devices", flush=True)
+        print(f"tensor-parallel over {n_tp} devices", flush=True)
+    elif n_pp:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_pp, axis="stage")
+        parallel = "pp"
+        print(f"pipeline-parallel over {n_pp} stages", flush=True)
     cell_fn = select_cell_fn(args.backend, mcfg, dcfg.batch)
     trainer = Trainer(
         mcfg, dcfg, tcfg, train, test,
