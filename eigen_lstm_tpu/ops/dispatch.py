@@ -15,24 +15,42 @@ import jax
 from ..config import ModelConfig
 
 
+def _shape_ok(mcfg: ModelConfig, batch: int) -> bool:
+    # gate slices along the lane axis must be 128-aligned; batch maps to
+    # sublanes (8 for fp32)
+    return mcfg.hidden % 128 == 0 and batch % 8 == 0
+
+
+def resident_supported(mcfg: ModelConfig, batch: int) -> bool:
+    """The resident-U fused kernel holds U (N, 4N) plus per-step blocks in
+    VMEM (~16 MB/core): supported up to N≈1024 fp32 / N≈1024 bf16."""
+    if not _shape_ok(mcfg, batch):
+        return False
+    bytes_per = 2 if mcfg.compute_dtype == "bfloat16" else 4
+    vmem_u = mcfg.hidden * 4 * mcfg.hidden * bytes_per
+    return vmem_u <= 8 * 1024 * 1024
+
+
+def tiled_supported(mcfg: ModelConfig, batch: int) -> bool:
+    """The tiled-U kernel streams U in double-buffered tiles — the N >= 2048
+    bf16 regime where the step is HBM-bound on U (pallas_cell_tiled.py)."""
+    if not _shape_ok(mcfg, batch):
+        return False
+    from .pallas_cell_tiled import pick_tile_width
+
+    rdtype = "float32" if mcfg.residual_dtype == "float32" else "bfloat16"
+    return pick_tile_width(mcfg.hidden, batch, mcfg.compute_dtype, rdtype) > 0
+
+
 def pallas_supported(mcfg: ModelConfig, batch: int) -> bool:
-    """The fused kernel holds U (N, 4N) plus per-step blocks in VMEM
-    (~16 MB/core): supported up to N≈1024 fp32. Larger models fall back to
-    the XLA scan until the tiled-U kernel lands."""
+    """Some Pallas recurrence path (resident or tiled) applies."""
     try:
         from . import pallas_cell  # noqa: F401
     except ImportError:
         return False
     if jax.devices()[0].platform != "tpu":
         return False
-    n = mcfg.hidden
-    if n % 128 != 0 or batch % 8 != 0:
-        # gate slices along the lane axis must be 128-aligned; batch maps to
-        # sublanes (8 for fp32)
-        return False
-    bytes_per = 2 if mcfg.compute_dtype == "bfloat16" else 4
-    vmem_u = n * 4 * n * bytes_per  # U is held in VMEM at the compute dtype
-    return vmem_u <= 8 * 1024 * 1024
+    return resident_supported(mcfg, batch) or tiled_supported(mcfg, batch)
 
 
 def select_cell_fn(backend: str, mcfg: ModelConfig, batch: int) -> Optional[object]:
@@ -50,10 +68,15 @@ def select_cell_fn(backend: str, mcfg: ModelConfig, batch: int) -> Optional[obje
             return None
         from . import pallas_cell as pc
 
-        cell_fn = pc.pallas_scan_layer
+        if resident_supported(mcfg, batch):
+            cell_fn = pc.pallas_scan_layer
+        else:
+            from .pallas_cell_tiled import pallas_tiled_scan_layer
+
+            cell_fn = pallas_tiled_scan_layer
         if pc.embed_supported(mcfg, batch):
             # expose the fused-embedding layer-0 kernel to models.forward
-            cell_fn = functools.partial(pc.pallas_scan_layer)
+            cell_fn = functools.partial(cell_fn)
             cell_fn.embed_layer0 = pc.pallas_embed_layer0
         return cell_fn
     raise ValueError(f"unknown backend {backend!r}")

@@ -35,10 +35,18 @@ def test_alignment_gates(monkeypatch):
     # misaligned hidden / batch
     assert not pallas_supported(ModelConfig(hidden=100), 128)
     assert not pallas_supported(ModelConfig(hidden=512), 3)
-    # N=2048 exceeds the VMEM budget even in bf16
-    assert not pallas_supported(
-        ModelConfig(hidden=2048, compute_dtype="bfloat16"), 128
+    # N=2048 exceeds the resident-U VMEM budget even in bf16 -> tiled kernel
+    from eigen_lstm_tpu.ops.dispatch import resident_supported, tiled_supported
+
+    big_bf16 = ModelConfig(
+        hidden=2048, compute_dtype="bfloat16", residual_dtype="bfloat16"
     )
-    # N=1024 fits only in bf16
-    assert pallas_supported(ModelConfig(hidden=1024, compute_dtype="bfloat16"), 128)
-    assert not pallas_supported(ModelConfig(hidden=1024), 128)
+    assert not resident_supported(big_bf16, 128)
+    assert tiled_supported(big_bf16, 128)
+    assert pallas_supported(big_bf16, 128)
+    # N=2048 fp32 fits neither path -> XLA fallback
+    assert not pallas_supported(ModelConfig(hidden=2048), 128)
+    # N=1024 resident only in bf16; tiled covers fp32
+    assert resident_supported(ModelConfig(hidden=1024, compute_dtype="bfloat16"), 128)
+    assert not resident_supported(ModelConfig(hidden=1024), 128)
+    assert tiled_supported(ModelConfig(hidden=1024), 128)
