@@ -25,6 +25,12 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--loss-base", choices=["e", "2"], default="e")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
                    help="matmul compute dtype (params stay fp32)")
+    p.add_argument("--residual-dtype", choices=["auto", "float32", "bfloat16"],
+                   default="auto",
+                   help="storage dtype of saved BPTT residuals (h/c/g "
+                        "sequences). auto: bfloat16 at hidden >= 2048 under "
+                        "--dtype bfloat16 (the tiled-kernel VMEM budget), "
+                        "float32 otherwise")
     p.add_argument("--forget-bias", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--embedding", choices=["auto", "gather", "onehot"], default="auto",
@@ -85,6 +91,11 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--gradcheck", action="store_true",
                    help="run a numerical gradient check before training "
                         "(reference runs one per epoch, class_batch/lstm.cc:323-337)")
+    p.add_argument("--crosscheck", type=int, default=None, metavar="K",
+                   help="every K supersteps, compare the Pallas kernel's "
+                        "loss/grad-norm against the XLA scan at the live "
+                        "training point (the reference's Eigen-vs-CUDA "
+                        "lockstep, lstm_eigen_CUDA/lstm.cu:425-496)")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of a training window "
                         "into DIR (the rebuild's tracing subsystem, SURVEY.md §5)")
@@ -93,6 +104,13 @@ def _add_train_args(p: argparse.ArgumentParser):
 def _configs(args):
     from .config import DataConfig, ModelConfig, TrainConfig
 
+    residual = getattr(args, "residual_dtype", "auto")
+    if residual == "auto":
+        residual = (
+            "bfloat16"
+            if args.dtype == "bfloat16" and args.hidden >= 2048
+            else "float32"
+        )
     mcfg = ModelConfig(
         vocab=args.vocab,
         hidden=args.hidden,
@@ -101,6 +119,7 @@ def _configs(args):
         loss_mode=args.loss_mode,
         loss_base=args.loss_base,
         compute_dtype=args.dtype,
+        residual_dtype=residual,
         forget_bias=args.forget_bias,
         embedding_mode=args.embedding,
         seed=args.seed,
@@ -135,6 +154,7 @@ def _configs(args):
         sample_chars=args.sample_chars,
         checkpoint_dir=args.ckpt_dir,
         pp_chunks=getattr(args, "pp_chunks", 4),
+        crosscheck_every=getattr(args, "crosscheck", None),
         seed=args.seed + 1,
     )
     return mcfg, dcfg, tcfg

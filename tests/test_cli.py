@@ -20,7 +20,13 @@ def test_parser_train_defaults():
     mcfg, dcfg, tcfg = _configs(args)
     assert mcfg.hidden == 512 and mcfg.cell_variant == "reference"
     assert dcfg.batch == 128 and dcfg.seq == 100 and dcfg.effective_stride == 100
-    assert tcfg.lr == 0.1 and tcfg.adagrad_eps == 1e-10
+    # quality defaults: hidden >= 512 resolves to the measured converging lr
+    # (docs/PERFORMANCE.md sweep); warmup capped by run length
+    assert tcfg.lr == 0.02 and tcfg.adagrad_eps == 1e-10
+    assert tcfg.warmup_steps == 1000  # min(50*100, 10000//10)
+    small = parse(["train", "--data", "x.txt", "--hidden", "128", "--steps", "300"])
+    _, _, tsmall = _configs(small)
+    assert tsmall.lr == 0.1 and tsmall.warmup_steps == 30
 
 
 def test_parser_overrides():
