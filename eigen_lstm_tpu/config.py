@@ -130,6 +130,9 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     superstep: int = 50           # inner jitted steps per host round-trip
     pp_chunks: int = 4            # pipeline microbatch chunks (must divide seq)
+    crosscheck_every: Optional[int] = None  # run the pallas-vs-xla runtime
+    # lockstep compare every this many supersteps (reference runs Eigen and
+    # CUDA side by side every step, lstm_eigen_CUDA/lstm.cu:425-496)
     seed: int = 1234
 
 

@@ -150,6 +150,8 @@ class Trainer:
         self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
         self.train_np = train_data
         self.test_np = test_data
+        self.cell_fn = cell_fn
+        self.crosscheck_failures = 0
         self.corpus = jnp.asarray(train_data)
         self.mesh = mesh
         self.parallel = parallel if mesh is not None else None
@@ -301,6 +303,13 @@ class Trainer:
                 if on_report:
                     on_report(self.last_metrics)
             if (
+                self.tcfg.crosscheck_every
+                and self.cell_fn is not None
+                and self.parallel is None
+                and (k + 1) % self.tcfg.crosscheck_every == 0
+            ):
+                self.crosscheck(quiet=quiet)
+            if (
                 self.test_np is not None
                 and len(self.test_np) > 1
                 and eval_timer.elapsed() >= self.tcfg.eval_every_s
@@ -310,6 +319,52 @@ class Trainer:
                 self.report_eval(timer.elapsed(), chars_done, quiet=quiet)
                 eval_timer.start()
         return self.last_metrics
+
+    def crosscheck(self, tol: Optional[float] = None, quiet: bool = False):
+        """Runtime lockstep cross-validation: loss and gradient global-norm
+        of the *current* training point computed by both the Pallas kernel
+        path and the XLA-scan path, compared live — the rebuild's analogue of
+        the reference running Eigen and CUDA side by side every step and
+        diffing tensors (``lstm_eigen_CUDA/lstm.cu:425-496``). Unlike the
+        interpret-mode test suite, this sees real Mosaic compilation on TPU.
+
+        Returns a dict with both values and the relative deviations; failures
+        (deviation > tol) are counted, not fatal (the reference prints and
+        continues, ``cu_matrix.cu:16-18``)."""
+        if tol is None:
+            tol = 2e-2 if self.mcfg.compute_dtype == "bfloat16" else 1e-3
+        x, t = corpus_mod.make_windows(
+            self.corpus, self.state.positions, self.dcfg.seq
+        )
+        params = self.canonical_params()
+        h, c = self.state.h, self.state.c
+
+        def one(cell_fn):
+            def f(p):
+                return model.loss_fn(p, x, t, h, c, self.mcfg, cell_fn)[0]
+
+            loss, grads = jax.jit(jax.value_and_grad(f))(params)
+            return float(loss), float(opt_mod.global_norm(grads))
+
+        l_pal, g_pal = one(self.cell_fn)
+        l_xla, g_xla = one(None)
+        dl = abs(l_pal - l_xla) / max(abs(l_xla), 1e-12)
+        dg = abs(g_pal - g_xla) / max(abs(g_xla), 1e-12)
+        ok = dl <= tol and dg <= tol
+        if not ok:
+            self.crosscheck_failures += 1
+        if not quiet:
+            print(
+                f"[crosscheck] step {self.step} loss pallas {l_pal:.6f} "
+                f"xla {l_xla:.6f} (Δ{dl:.2e})  gnorm pallas {g_pal:.4f} "
+                f"xla {g_xla:.4f} (Δ{dg:.2e})  {'ok' if ok else 'MISMATCH'}",
+                flush=True,
+            )
+        return {
+            "loss_pallas": l_pal, "loss_xla": l_xla, "rel_loss": dl,
+            "gnorm_pallas": g_pal, "gnorm_xla": g_xla, "rel_gnorm": dg,
+            "ok": ok,
+        }
 
     def report_eval(self, wall_s: float, chars_done: int, quiet: bool = False):
         """Timed held-out eval + results row + checkpoint + sample — the

@@ -62,6 +62,35 @@ def test_eval_bpc_sane_and_improves():
     assert abs(single - after) < 0.5
 
 
+def test_eval_scores_every_byte():
+    """The evaluator must score every byte of the split exactly once — the
+    reference test() walks the full held-out set (class_CUDA/lstm.cc:661-720).
+    Awkward length so ceil-span streams + chunk padding + tail mask are all
+    exercised; compared against an unpadded per-stream forward."""
+    from eigen_lstm_tpu.models import lstm as model_mod
+
+    cfg = ModelConfig(hidden=16, num_layers=1, seed=3)
+    params = init_params(cfg)
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, 1003).astype(np.uint8)
+    eval_batch = 4
+    got = eval_mod.evaluate_bpc(params, data, cfg, eval_batch=eval_batch, chunk=16)
+
+    usable = len(data) - 1
+    span = -(-usable // eval_batch)
+    total = 0.0
+    for e in range(eval_batch):
+        s = e * span
+        n = min(span, usable - s)
+        x = jnp.asarray(data[s : s + n].astype(np.int32))[:, None]
+        t = jnp.asarray(data[s + 1 : s + 1 + n].astype(np.int32))[:, None]
+        h, c = init_state(cfg, 1)
+        h_seq, _ = model_mod.forward(params, x, h, c, cfg)
+        logits = model_mod.logits_from_h(params, h_seq, cfg)
+        total += float(jnp.sum(model_mod.softmax_xent_bits(logits, t)))
+    np.testing.assert_allclose(got, total / usable, rtol=1e-5)
+
+
 def test_warmup_freezes_params():
     """lr=0 during warmup (class_CUDA lstm.cc:364-367): params unchanged,
     but Adagrad accumulators still accumulate."""
@@ -119,6 +148,31 @@ def test_nonfinite_step_preserves_recurrent_state():
     np.testing.assert_array_equal(
         np.asarray(new_state.params.layers[0].W), w_before
     )
+
+
+def test_crosscheck_lockstep():
+    """Runtime pallas-vs-xla lockstep (reference lstm.cu:425-496): agreement
+    for the real kernel (interpret mode on CPU), mismatch detected for a
+    deliberately wrong backend."""
+    from eigen_lstm_tpu.ops.pallas_cell import pallas_scan_layer
+
+    mcfg = ModelConfig(hidden=128, num_layers=1, loss_mode="all", seed=0)
+    tr = make_trainer(
+        mcfg=mcfg,
+        dcfg=DataConfig(batch=8, seq=16, train_percent=0.9),
+        cell_fn=pallas_scan_layer,
+    )
+    res = tr.crosscheck(quiet=True)
+    assert res["ok"], res
+    assert tr.crosscheck_failures == 0
+
+    def broken_cell(layer, xw, h0, c0, cfg):
+        return pallas_scan_layer(layer, xw * 1.01, h0, c0, cfg)
+
+    tr.cell_fn = broken_cell
+    res = tr.crosscheck(tol=1e-5, quiet=True)
+    assert not res["ok"]
+    assert tr.crosscheck_failures == 1
 
 
 def test_grad_clipping_bounds_norm():
