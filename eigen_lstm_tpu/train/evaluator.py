@@ -27,25 +27,27 @@ def _score_streams(
     params: model.LSTMParams,
     x: jax.Array,        # (T, E) int32 inputs, T = n_chunks * chunk
     t: jax.Array,        # (T, E) int32 next-byte targets
+    mask: jax.Array,     # (T, E) bool — True where the position is real
     cfg: ModelConfig,
     chunk: int,
     n_chunks: int,
 ) -> jax.Array:
-    """Sum of -log2 p(target) over all (T, E) positions."""
+    """Sum of -log2 p(target) over the masked (T, E) positions."""
     e = x.shape[1]
     h, c = model.init_state(cfg, e)
     xc = x.reshape(n_chunks, chunk, e)
     tc = t.reshape(n_chunks, chunk, e)
+    mc = mask.reshape(n_chunks, chunk, e)
 
     def body(carry, xt):
         h, c, acc = carry
-        xi, ti = xt
+        xi, ti, mi = xt
         h_seq, (h, c) = model.forward(params, xi, h, c, cfg)
         logits = model.logits_from_h(params, h_seq, cfg)
         bits = model.softmax_xent_bits(logits, ti)
-        return (h, c, acc + jnp.sum(bits)), None
+        return (h, c, acc + jnp.sum(bits * mi)), None
 
-    (_, _, total), _ = jax.lax.scan(body, (h, c, jnp.float32(0.0)), (xc, tc))
+    (_, _, total), _ = jax.lax.scan(body, (h, c, jnp.float32(0.0)), (xc, tc, mc))
     return total
 
 
@@ -67,21 +69,36 @@ def evaluate_bpc(
         raise ValueError("test split too small to evaluate")
     if usable < eval_batch * chunk:
         eval_batch = 1
-    span = usable // eval_batch                    # chars scored per stream
+    # every byte is scored exactly once (the reference's test() scores the
+    # full split, class_CUDA/lstm.cc:661-720): streams cover ceil-sized
+    # contiguous spans, the padded tail masked out of the bit sum
+    span = -(-usable // eval_batch)                # chars per stream (ceil)
     chunk = min(chunk, span)
-    n_chunks = max(1, span // chunk)
-    span = n_chunks * chunk
-    # stream e covers bytes [e*span0, ...): contiguous spans, like splitting
-    # the reference's single stream into E independent ones
-    starts = np.arange(eval_batch) * (usable // eval_batch)
-    x = np.stack([data[s : s + span] for s in starts], axis=1)       # (T, E)
-    t = np.stack([data[s + 1 : s + span + 1] for s in starts], axis=1)
+    n_chunks = -(-span // chunk)
+    span_pad = n_chunks * chunk
+    need = (eval_batch - 1) * span + span_pad + 1
+    if need > len(data):
+        data = np.concatenate(
+            [data, np.zeros(need - len(data), dtype=data.dtype)]
+        )
+    # stream e covers bytes [e*span, e*span + span): contiguous spans, like
+    # splitting the reference's single stream into E independent ones
+    starts = np.arange(eval_batch) * span
+    x = np.stack([data[s : s + span_pad] for s in starts], axis=1)    # (T, E)
+    t = np.stack([data[s + 1 : s + span_pad + 1] for s in starts], axis=1)
+    # a position is real iff it lies inside this stream's own span AND the
+    # split (the chunk-padding overruns into the next stream's bytes, which
+    # that stream scores itself)
+    local = np.arange(span_pad)[:, None]
+    idx = starts[None, :] + local
+    mask = (idx < usable) & (local < span)
     total = _score_streams(
         params,
         jnp.asarray(x.astype(np.int32)),
         jnp.asarray(t.astype(np.int32)),
+        jnp.asarray(mask, jnp.float32),
         cfg,
         chunk,
         n_chunks,
     )
-    return float(total) / (span * eval_batch)
+    return float(total) / usable
