@@ -20,8 +20,44 @@ from ..config import ModelConfig
 from . import lstm as model
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "length", "temperature"))
 def sample_ids(
+    params: model.LSTMParams,
+    cfg: ModelConfig,
+    key: jax.Array,
+    first: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    length: int,
+    temperature: float = 1.0,
+    backend: str = "auto",
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Generate ``length`` ids per stream. Returns ((length, B) ids, state).
+
+    ``backend="auto"`` uses the fused Pallas generation kernel
+    (ops/pallas_sampler.py) on TPU when the model fits its VMEM gate —
+    the XLA scan is latency-chain bound per token; "xla" forces the scan."""
+    if backend in ("auto", "pallas"):
+        import jax as _jax
+
+        from ..ops import pallas_sampler as ps
+
+        on_tpu = _jax.devices()[0].platform == "tpu"
+        ok = (
+            cfg.num_layers == 1
+            and ps.supported(cfg, int(first.shape[0]), length)
+            and (on_tpu or backend == "pallas")
+        )
+        if ok:
+            return ps.pallas_sample_ids(
+                params, cfg, key, first, h0, c0, length, temperature
+            )
+        if backend == "pallas":
+            raise ValueError("fused sampler unsupported for this config")
+    return _sample_ids_xla(params, cfg, key, first, h0, c0, length, temperature)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "length", "temperature"))
+def _sample_ids_xla(
     params: model.LSTMParams,
     cfg: ModelConfig,
     key: jax.Array,

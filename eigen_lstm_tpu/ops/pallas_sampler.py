@@ -1,0 +1,203 @@
+"""Fused Pallas generation kernel: the entire n-token sampling loop in one
+kernel with all weights resident in VMEM.
+
+The XLA-scan sampler (models/sampler.py) is latency-chain bound: each token
+is a chain of small HLOs (embed gather, h@U, cell, h@Why, categorical) whose
+VMEM round-trips serialize (~52 us/token at H=512 B=128, ROADMAP r1 item 3).
+Here one kernel holds the stacked input+recurrent weight [W; U], the head
+Why/by, and the running (h, c) in VMEM for the whole generation; each grid
+step is: one-hot(prev)++h -> one MXU matmul -> cell epilogue -> head matmul
+-> Gumbel-max draw (on-core PRNG) -> write the token.
+
+Sampling uses the Gumbel-max identity (argmax(logits/T + G) ~ Categorical
+(softmax(logits/T))) instead of the reference's host-side CDF cumsum + linear
+scan (``class_CUDA/lstm.cc:613-631``) — an argmax over the 256-lane vocab
+axis is one VPU reduction. Greedy (T=0) is an exact argmax, bitwise
+comparable to the XLA sampler (tests/test_pallas_sampler.py); stochastic
+draws use a counter-based hash RNG (murmur3 finalizer over (seed, step,
+element)) in plain VPU integer ops — deterministic given the key,
+platform-independent (same bits in interpret mode and on TPU), but a
+different stream than jax.random.categorical, so sequences are compared
+distributionally, not bitwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModelConfig
+from .pallas_cell import _use_interpret
+
+
+def _shr(x, k):
+    return jax.lax.shift_right_logical(x, jnp.uint32(k))
+
+
+def _fmix32(x):
+    """murmur3 32-bit finalizer: a full-avalanche integer hash."""
+    x = x ^ _shr(x, 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ _shr(x, 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ _shr(x, 16)
+    return x
+
+
+def _gen_kernel(n, m, variant, cdtype, greedy, inv_t,
+                seed_ref, WU_ref, b_ref, Why_ref, by_ref,
+                first_ref, h0_ref, c0_ref,
+                ids_ref, hT_ref, cT_ref,
+                h_s, c_s, ch_s, xh_s):
+    t = pl.program_id(0)
+    b_sz = h_s.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:].astype(jnp.float32)
+        c_s[:] = c0_ref[:].astype(jnp.float32)
+        ch_s[:] = first_ref[:]
+
+    ch = ch_s[:, 0]                                       # (B,)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b_sz, m), 1)
+    xh_s[:, :m] = (cols == ch[:, None]).astype(cdtype)
+    xh_s[:, m:] = h_s[:].astype(cdtype)
+    g_pre = (
+        jnp.dot(xh_s[:], WU_ref[:], preferred_element_type=jnp.float32)
+        + b_ref[:]
+    )
+    iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
+    u = jnp.tanh(g_pre[:, 3 * n :])
+    i = iof[:, :n]
+    o = iof[:, n : 2 * n]
+    f = iof[:, 2 * n : 3 * n]
+    c_raw = i * u + f * c_s[:]
+    if variant == "reference":
+        c_carry = jnp.tanh(c_raw)       # destructive squash, root lstm.cc:189
+        h = o * c_carry
+    else:
+        c_carry = c_raw
+        h = o * jnp.tanh(c_raw)
+    h_s[:] = h
+    c_s[:] = c_carry
+
+    logits = (
+        jnp.dot(h.astype(cdtype), Why_ref[:], preferred_element_type=jnp.float32)
+        + by_ref[:]
+    )
+    if greedy:
+        scores = logits
+    else:
+        # counter-based uniform bits: hash of (seed, step) x element index
+        base = _fmix32(
+            seed_ref[0].astype(jnp.uint32)
+            ^ (t.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        )
+        rows = jax.lax.broadcasted_iota(jnp.uint32, (b_sz, m), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.uint32, (b_sz, m), 1)
+        bits = _fmix32((rows * jnp.uint32(m) + lanes) * jnp.uint32(0x85EBCA6B) ^ base)
+        # 24 high bits -> uniform in (0, 1), clamped away from 0 for the log
+        uni = _shr(bits, 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        uni = jnp.maximum(uni, 1e-7)
+        gumbel = -jnp.log(-jnp.log(uni))
+        scores = logits * inv_t + gumbel
+    nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    ids_ref[t] = nxt
+    ch_s[:] = nxt[:, None]
+    hT_ref[:] = h
+    cT_ref[:] = c_carry
+
+
+def supported(cfg: ModelConfig, batch: int, length: int) -> bool:
+    """VMEM gate: stacked [W; U] + head + the full ids output must fit."""
+    n, m = cfg.hidden, cfg.vocab
+    if n % 128 != 0 or m % 128 != 0 or batch % 8 != 0:
+        return False
+    cbytes = 2 if cfg.compute_dtype == "bfloat16" else 4
+    total = (
+        (m + n) * 4 * n * cbytes       # stacked [W; U]
+        + n * m * cbytes + 4 * m       # head
+        + length * batch * 4           # resident ids output
+        + batch * (2 * n * 4 + (m + n) * cbytes + 4 * m)   # state + scratch
+    )
+    return total <= 13 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=32)
+def _make_gen(length: int, b: int, n: int, m: int, variant: str,
+              cdtype_name: str, greedy: bool, inv_t: float, interpret: bool):
+    cdtype = jnp.dtype(cdtype_name).type
+    f32 = jnp.float32
+
+    def call(seed, WU, bvec, Why, by, first, h0, c0):
+        return pl.pallas_call(
+            functools.partial(
+                _gen_kernel, n, m, variant, cdtype, greedy, inv_t
+            ),
+            grid=(length,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((m + n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, m), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),      # first (B,1)
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),      # ids resident
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((length, b), jnp.int32),
+                jax.ShapeDtypeStruct((b, n), f32),
+                jax.ShapeDtypeStruct((b, n), f32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b, n), f32),
+                pltpu.VMEM((b, n), f32),
+                pltpu.VMEM((b, 1), jnp.int32),
+                pltpu.VMEM((b, m + n), cdtype),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * length * b * ((m + n) * 4 * n + n * m),
+                bytes_accessed=(m + n) * 4 * n * 4 + n * m * 4 + length * b * 4,
+                transcendentals=length * b * (5 * n + 2 * m),
+            ),
+            interpret=interpret,
+        )(seed, WU, bvec, Why, by, first, h0, c0)
+
+    return call
+
+
+def pallas_sample_ids(params, cfg: ModelConfig, key, first, h0, c0,
+                      length: int, temperature: float = 1.0):
+    """Single-layer fused generation. Same contract as sampler.sample_ids:
+    returns ((length, B) ids, (hT, cT)) with state shaped (1, B, N)."""
+    assert cfg.num_layers == 1, "fused sampler is single-layer"
+    b = first.shape[0]
+    n, m = cfg.hidden, cfg.vocab
+    greedy = temperature == 0.0
+    inv_t = 0.0 if greedy else 1.0 / float(temperature)
+    call = _make_gen(
+        length, b, n, m, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
+        greedy, inv_t, _use_interpret(),
+    )
+    layer = params.layers[0]
+    WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
+    bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)
+    Why = params.Why.astype(cfg.cdtype)
+    by = params.by.astype(jnp.float32).reshape(1, m)
+    seed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
+    ids, hT, cT = call(
+        seed.reshape(1), WU, bvec, Why, by,
+        first.reshape(b, 1).astype(jnp.int32),
+        h0[0].astype(jnp.float32), c0[0].astype(jnp.float32),
+    )
+    return ids, (hT[None].astype(cfg.pdtype), cT[None].astype(cfg.pdtype))
