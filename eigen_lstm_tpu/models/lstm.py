@@ -218,13 +218,23 @@ def loss_fn(
     variants, SURVEY.md §2.2 item 7); metrics are always bits.
     """
     h_seq, state = forward(params, ids, h0, c0, cfg, cell_fn=cell_fn)
+    s, b_ = ids.shape
+    head_fn = getattr(cell_fn, "fused_head", None)
     if cfg.loss_mode == "last":
         logits = logits_from_h(params, h_seq[-1], cfg)
         bits = softmax_xent_bits(logits, targets[-1])
+        mean_bits = jnp.mean(bits)
+    elif head_fn is not None and head_fn.supported(cfg, s * b_):
+        # fused softmax-CE head kernel: logits/probs/dlogits never hit HBM
+        # (ops/pallas_head.py)
+        bits_sum = head_fn(
+            params, h_seq.reshape(s * b_, -1), targets.reshape(-1), cfg
+        )
+        mean_bits = bits_sum / (s * b_)
     else:
         logits = logits_from_h(params, h_seq, cfg)
         bits = softmax_xent_bits(logits, targets)
-    mean_bits = jnp.mean(bits)
+        mean_bits = jnp.mean(bits)
     loss = mean_bits if cfg.loss_base == "2" else mean_bits * LN2
     return loss, (state, mean_bits)
 

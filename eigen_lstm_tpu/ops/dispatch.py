@@ -74,9 +74,15 @@ def select_cell_fn(backend: str, mcfg: ModelConfig, batch: int) -> Optional[obje
             from .pallas_cell_tiled import pallas_tiled_scan_layer
 
             cell_fn = pallas_tiled_scan_layer
+        cell_fn = functools.partial(cell_fn)
         if pc.embed_supported(mcfg, batch):
             # expose the fused-embedding layer-0 kernel to models.forward
-            cell_fn = functools.partial(cell_fn)
             cell_fn.embed_layer0 = pc.pallas_embed_layer0
+        from . import pallas_head
+
+        # fused softmax-CE head (gated per-shape at trace time in loss_fn)
+        head = functools.partial(pallas_head.fused_head_bits)
+        head.supported = pallas_head.head_supported
+        cell_fn.fused_head = head
         return cell_fn
     raise ValueError(f"unknown backend {backend!r}")
