@@ -92,10 +92,27 @@ def tp_replicated_mask(mcfg: ModelConfig, axis: str = "model"):
     )
 
 
-def _tp_scan_layer(layer, xw, h0_d, c0_d, cfg: ModelConfig, axis: str):
+def _tp_scan_layer(layer, xw, h0_d, c0_d, cfg: ModelConfig, axis: str,
+                   backend: str = "xla"):
     """Shard-local recurrence: xw (S, B, 4N/D), h0_d/c0_d (B, N/D).
-    Uses shard-local gate order [i,o,f,u] each N/D wide."""
+    Uses shard-local gate order [i,o,f,u] each N/D wide.
+
+    ``backend="pallas"`` fuses the shard-local gate matmul + cell into one
+    kernel per step (ops/pallas_tp_cell.py); the per-step h all-gather stays
+    in the scan — a sequence-level kernel is impossible under TP because h
+    crosses devices every step (see that module's docstring)."""
     nd = layer.U.shape[1] // 4
+    if backend == "pallas":
+        from ..ops.pallas_tp_cell import fused_tp_step
+
+        def step(carry, xw_t):
+            h_d, c_d = carry
+            h_full = jax.lax.all_gather(h_d, axis, axis=1, tiled=True)
+            h2, c2 = fused_tp_step(layer.U, xw_t, h_full, c_d, cfg, axis)
+            return (h2.astype(cfg.pdtype), c2.astype(cfg.pdtype)), h2.astype(cfg.pdtype)
+
+        (hT, cT), h_seq = jax.lax.scan(step, (h0_d, c0_d), xw)
+        return h_seq, (hT, cT)
 
     def step(carry, xw_t):
         h_d, c_d = carry
@@ -120,9 +137,11 @@ def tp_loss_fn(
     c0: jax.Array,              # (L, B, N/D) shard
     cfg: ModelConfig,
     axis: str = "model",
+    backend: str = "xla",
 ) -> Tuple[jax.Array, Tuple[Tuple[jax.Array, jax.Array], jax.Array]]:
     """Shard-local mirror of ``models.lstm.loss_fn`` under TP. Loss and
-    metrics come out replicated across the model axis."""
+    metrics come out replicated across the model axis. ``backend="pallas"``
+    fuses each step's gate matmul + cell (ops/pallas_tp_cell.py)."""
     s, b_ = ids.shape
     x_full = None  # full hidden sequence of the layer below (all-gathered)
     h_last, c_last = [], []
@@ -134,7 +153,9 @@ def tp_loss_fn(
             flat = x_full.reshape(s * b_, -1)
             xw = cell_ops.matmul(flat, layer.W, cfg.cdtype).reshape(s, b_, -1)
             xw = xw + layer.b.astype(cfg.adtype)
-        h_seq_d, (hT, cT) = _tp_scan_layer(layer, xw, h0[l], c0[l], cfg, axis)
+        h_seq_d, (hT, cT) = _tp_scan_layer(
+            layer, xw, h0[l], c0[l], cfg, axis, backend
+        )
         x_full = jax.lax.all_gather(h_seq_d, axis, axis=2, tiled=True)
         h_last.append(hT)
         c_last.append(cT)
@@ -157,7 +178,8 @@ def tp_loss_fn(
     return loss, ((jnp.stack(h_last), jnp.stack(c_last)), mean_bits)
 
 
-def make_tp_loss_and_grad(mcfg: ModelConfig, mesh: Mesh, axis: str = "model"):
+def make_tp_loss_and_grad(mcfg: ModelConfig, mesh: Mesh, axis: str = "model",
+                          backend: str = "xla"):
     """jitted (loss, bits), grads over the TP mesh. Params must be permuted
     (``permute_params_for_tp``) and placed with ``shard_tp_params``."""
     pspecs = tp_specs(mcfg, axis)
@@ -165,7 +187,7 @@ def make_tp_loss_and_grad(mcfg: ModelConfig, mesh: Mesh, axis: str = "model"):
 
     def local(params, ids, targets, h0, c0):
         def loss_of(p):
-            return tp_loss_fn(p, ids, targets, h0, c0, mcfg, axis)
+            return tp_loss_fn(p, ids, targets, h0, c0, mcfg, axis, backend)
 
         (loss, (_, bits)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
         return loss, bits, grads
@@ -196,6 +218,7 @@ def make_tp_superstep(
     mesh: Mesh,
     axis: str = "model",
     donate: bool = True,
+    backend: str = "xla",
 ):
     """Full TP training superstep (scan of K steps): windows are replicated
     (every device reads the same byte streams), each device trains its own
@@ -216,7 +239,7 @@ def make_tp_superstep(
         x, t = corpus_mod.make_windows(corpus, state.positions, seq)
 
         def loss_of(p):
-            return tp_loss_fn(p, x, t, state.h, state.c, mcfg, axis)
+            return tp_loss_fn(p, x, t, state.h, state.c, mcfg, axis, backend)
 
         (loss, ((h2, c2), bits)), grads = jax.value_and_grad(
             loss_of, has_aux=True

@@ -183,8 +183,15 @@ class Trainer:
                 mcfg,
                 axis,
             )
+            from ..ops.pallas_tp_cell import tp_pallas_supported
+
+            tp_backend = (
+                "pallas"
+                if cell_fn is not None and tp_pallas_supported(mcfg, dcfg.batch, ndev)
+                else "xla"
+            )
             self.superstep = tp_mod.make_tp_superstep(
-                mcfg, dcfg, tcfg, self.corpus, mesh, axis
+                mcfg, dcfg, tcfg, self.corpus, mesh, axis, backend=tp_backend
             )
         elif mesh is not None and parallel == "dp_tp":
             from ..parallel import dp_tp as dp_tp_mod

@@ -76,6 +76,35 @@ def test_tp8_matches_single_device(num_layers):
         )
 
 
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_tp_pallas_backend_matches_single_device(num_layers):
+    """The fused per-step TP cell kernel (interpret mode) is the same
+    function as the XLA TP scan and the single-device model — loss and all
+    grads."""
+    cfg, params, ids, targets, h0, c0 = setup(num_layers=num_layers)
+    mesh = mesh_mod.make_mesh(8, axis="model")
+    pperm = tp_mod.permute_params_for_tp(params, 8)
+    tp_fn = tp_mod.make_tp_loss_and_grad(cfg, mesh, backend="pallas")
+    loss_tp, bits_tp, grads_tp = tp_fn(
+        tp_mod.shard_tp_params(pperm, mesh), ids, targets, h0, c0
+    )
+    loss_ref, (_, bits_ref) = model.loss_fn(params, ids, targets, h0, c0, cfg)
+    np.testing.assert_allclose(float(loss_tp), float(loss_ref), rtol=1e-5)
+
+    grads_ref = jax.grad(
+        lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg)[0]
+    )(params)
+    grads_ref_perm = tp_mod.permute_params_for_tp(grads_ref, 8)
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(grads_ref_perm)[0],
+        jax.tree_util.tree_leaves(grads_tp),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=f"TP pallas grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
 def test_tp_rejects_indivisible_hidden():
     cfg, params, *_ = setup(hidden=12)
     with pytest.raises(ValueError, match="not divisible"):
