@@ -286,8 +286,9 @@ def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_embed_kernel(n, m, variant, cdtype, WU_ref, b_ref, ids_ref, h0_ref,
-                      c0_ref, hseq_ref, cseq_ref, gseq_ref, h_s, c_s, xh_s):
+def _fwd_embed_kernel(n, m, variant, cdtype, n_split, WU_ref, b_ref, ids_ref,
+                      h0_ref, c0_ref, hseq_ref, cseq_ref, gseq_ref,
+                      h_s, c_s, xh_s):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -296,37 +297,53 @@ def _fwd_embed_kernel(n, m, variant, cdtype, WU_ref, b_ref, ids_ref, h0_ref,
         c_s[:] = c0_ref[:].astype(jnp.float32)
 
     b_sz = h_s.shape[0]
+    bs = b_sz // n_split
     ids_t = ids_ref[t]                                   # (B,) int32
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b_sz, m), 1)
-    onehot = (cols == ids_t[:, None]).astype(cdtype)
-    xh_s[:, :m] = onehot
-    xh_s[:, m:] = h_s[:].astype(cdtype)
-    g_pre = (
-        jnp.dot(xh_s[:], WU_ref[:], preferred_element_type=jnp.float32)
-        + b_ref[:]
-    )
-    iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
-    u = jnp.tanh(g_pre[:, 3 * n :])
-    i = iof[:, :n]
-    o = iof[:, n : 2 * n]
-    f = iof[:, 2 * n : 3 * n]
-    c_raw = i * u + f * c_s[:]
-    if variant == "reference":
-        c_carry = jnp.tanh(c_raw)
-        h = o * c_carry
-    else:
-        c_carry = c_raw
-        h = o * jnp.tanh(c_raw)
-    h_s[:] = h
-    c_s[:] = c_carry
-    hseq_ref[0] = h.astype(hseq_ref.dtype)
-    cseq_ref[0] = c_carry.astype(cseq_ref.dtype)
-    gseq_ref[0] = jnp.concatenate([iof, u], axis=-1).astype(gseq_ref.dtype)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bs, m), 1)
+
+    # n_split > 1 staggers the batch into half-blocks so block p's VPU
+    # epilogue can overlap block p+1's MXU matmul (the serialized epilogue
+    # is the headline kernel's residual cost, docs/PERFORMANCE.md): emit
+    # build_p, matmul_p interleaved, then the epilogues.
+    pres = []
+    for p in range(n_split):
+        sl = slice(p * bs, (p + 1) * bs)
+        ids_p = jax.lax.slice_in_dim(ids_t, p * bs, (p + 1) * bs)
+        onehot = (cols == ids_p[:, None]).astype(cdtype)
+        xh_s[sl, :m] = onehot
+        xh_s[sl, m:] = h_s[sl, :].astype(cdtype)
+        pres.append(
+            jnp.dot(xh_s[sl, :], WU_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[:]
+        )
+    for p in range(n_split):
+        sl = slice(p * bs, (p + 1) * bs)
+        g_pre = pres[p]
+        iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
+        u = jnp.tanh(g_pre[:, 3 * n :])
+        i = iof[:, :n]
+        o = iof[:, n : 2 * n]
+        f = iof[:, 2 * n : 3 * n]
+        c_raw = i * u + f * c_s[sl, :]
+        if variant == "reference":
+            c_carry = jnp.tanh(c_raw)
+            h = o * c_carry
+        else:
+            c_carry = c_raw
+            h = o * jnp.tanh(c_raw)
+        h_s[sl, :] = h
+        c_s[sl, :] = c_carry
+        hseq_ref[0, sl, :] = h.astype(hseq_ref.dtype)
+        cseq_ref[0, sl, :] = c_carry.astype(cseq_ref.dtype)
+        gseq_ref[0, sl, :] = jnp.concatenate([iof, u], axis=-1).astype(
+            gseq_ref.dtype
+        )
 
 
 @functools.lru_cache(maxsize=64)
 def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
-                          cdtype_name: str, rdtype_name: str, interpret: bool):
+                          cdtype_name: str, rdtype_name: str, interpret: bool,
+                          n_split: int = 1):
     """custom-VJP fused layer-0 sequence op: (WU, b, ids, h0, c0) ->
     (h_seq, (hT, cT)). WU is the stacked (M+N, 4N) weight at the compute
     dtype; backward reuses the standard reverse-time kernel with U = WU[M:]
@@ -339,7 +356,7 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
 
     def fwd_call(WU, bvec, ids, h0, c0):
         return pl.pallas_call(
-            functools.partial(_fwd_embed_kernel, n, m, variant, cdtype),
+            functools.partial(_fwd_embed_kernel, n, m, variant, cdtype, n_split),
             grid=(s,),
             in_specs=[
                 pl.BlockSpec((m + n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -433,15 +450,23 @@ def embed_supported(cfg: ModelConfig, batch: int) -> bool:
     return (m + n) * 4 * n * bytes_per <= 12 * 1024 * 1024
 
 
-def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig):
+def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None):
     """Layer-0 recurrence with the embedding fused into the kernel.
-    ids: (S, B) int32. Same return contract as pallas_scan_layer."""
+    ids: (S, B) int32. Same return contract as pallas_scan_layer.
+    ``n_split``: batch half-blocking for epilogue/MXU overlap (default from
+    EIGEN_LSTM_BSPLIT, else 1)."""
+    import os
+
     s, b = ids.shape
     n, m = cfg.hidden, cfg.vocab
+    if n_split is None:
+        n_split = int(os.environ.get("EIGEN_LSTM_BSPLIT", "1"))
+    if b % (8 * n_split) != 0:
+        n_split = 1
     fn = _make_fused_embed_seq(
         s, b, n, m, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
-        _use_interpret(),
+        _use_interpret(), n_split,
     )
     WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
     bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)

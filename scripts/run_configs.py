@@ -64,7 +64,11 @@ def measure(tag, mcfg_kw, dcfg_kw, steps=400, superstep=10, eval_chars=50000,
         "backend": "pallas" if cell_fn else "xla",
         "chars_per_sec": round(cps, 0),
         "gflops": round(cps * fpc / 1e9, 1),
-        "mfu": round(cps * fpc / metrics_mod.TPU_V5E_PEAK_BF16, 4),
+        "mfu": round(cps * fpc / (
+            metrics_mod.TPU_V5E_PEAK_BF16
+            if mcfg.compute_dtype == "bfloat16"
+            else metrics_mod.TPU_V5E_PEAK_FP32
+        ), 4),
         "train_bpc": round(float(m["bits_mean"]), 3),
     }
     print(json.dumps(res), flush=True)
@@ -100,9 +104,25 @@ def main():
     ))
     rows.append(measure(
         "5. H=2048 single-chip shard (DP validated on virtual mesh)",
-        dict(hidden=2048, num_layers=1, loss_mode="all", compute_dtype="bfloat16", seed=0),
+        dict(hidden=2048, num_layers=1, loss_mode="all", compute_dtype="bfloat16",
+             residual_dtype="bfloat16", seed=0),
         dict(path=f"{ROOT}/data/enwik6.txt", train_percent=0.99, batch=64, seq=50),
         steps=800, superstep=10, lr=0.005, warmup=200,
+    ))
+
+    # reference-corpora rows (SURVEY.md §6 grid: world192 + book1 at the
+    # reference's GPU config N=256 S=25 B=16, lstm_eigen_class_CUDA)
+    rows.append(measure(
+        "6. world192 (ref GPU cfg)",
+        dict(hidden=256, num_layers=1, loss_mode="last", compute_dtype="bfloat16", seed=0),
+        dict(path=f"{ROOT}/data/world192.txt", train_percent=0.99, batch=16, seq=25, stride=1),
+        steps=2000, superstep=100, lr=0.1, warmup=100,
+    ))
+    rows.append(measure(
+        "7. book1 (ref GPU cfg)",
+        dict(hidden=256, num_layers=1, loss_mode="last", compute_dtype="bfloat16", seed=0),
+        dict(path=f"{ROOT}/data/book1.txt", train_percent=0.95, batch=16, seq=25, stride=1),
+        steps=2000, superstep=100, lr=0.1, warmup=100,
     ))
 
     lines = [
@@ -119,6 +139,11 @@ def main():
         )
     lines += [
         "",
+        "MFU uses the corrected analytic model (no layer-0 dgrad; gather",
+        "embedding counts zero fwd FLOPs) against the peak of the run's",
+        "compute dtype. Rows 6-7 are the reference's own GPU config",
+        "(N=256 S=25 B=16, sliding windows, loss-on-last) on the mirrored",
+        "world192/book1 corpora (SURVEY.md §6).",
         "Config 5's 8-chip DP version is compile+execute validated on an",
         "8-device virtual mesh (`__graft_entry__.dryrun_multichip`,",
         "tests/test_parallel.py); this box has a single physical chip.",

@@ -180,3 +180,31 @@ def test_fused_embedding_layer0_parity(variant):
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6,
             err_msg=f"fused-embed grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_fused_embedding_batch_split_parity():
+    """n_split=2 (epilogue/MXU overlap staggering) is the same function."""
+    import functools as ft
+
+    from eigen_lstm_tpu.ops import pallas_cell as pc
+
+    cfg = ModelConfig(vocab=128, hidden=N, num_layers=1, loss_mode="all", seed=0)
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (S, B)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (S, B)), jnp.int32)
+    h0 = jnp.asarray(rng.normal(size=(1, B, N)) * 0.1, jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(1, B, N)) * 0.1, jnp.float32)
+
+    def loss_with(n_split):
+        cell_fn = ft.partial(pc.pallas_scan_layer)
+        cell_fn.embed_layer0 = ft.partial(pc.pallas_embed_layer0, n_split=n_split)
+        return jax.value_and_grad(
+            lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg, cell_fn=cell_fn)[0]
+        )(params)
+
+    l1, g1 = loss_with(1)
+    l2, g2 = loss_with(2)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
