@@ -62,9 +62,10 @@ def _gen_kernel(n, m, variant, cdtype, greedy, inv_t,
         c_s[:] = c0_ref[:].astype(jnp.float32)
         ch_s[:] = first_ref[:]
 
-    ch = ch_s[:, 0]                                       # (B,)
     cols = jax.lax.broadcasted_iota(jnp.int32, (b_sz, m), 1)
-    xh_s[:, :m] = (cols == ch[:, None]).astype(cdtype)
+    # everything stays in (B, 1)-column layout: (B,) sublane vectors would
+    # force a cross-layout relayout every step
+    xh_s[:, :m] = (cols == ch_s[:]).astype(cdtype)
     xh_s[:, m:] = h_s[:].astype(cdtype)
     g_pre = (
         jnp.dot(xh_s[:], WU_ref[:], preferred_element_type=jnp.float32)
@@ -100,14 +101,27 @@ def _gen_kernel(n, m, variant, cdtype, greedy, inv_t,
         rows = jax.lax.broadcasted_iota(jnp.uint32, (b_sz, m), 0)
         lanes = jax.lax.broadcasted_iota(jnp.uint32, (b_sz, m), 1)
         bits = _fmix32((rows * jnp.uint32(m) + lanes) * jnp.uint32(0x85EBCA6B) ^ base)
-        # 24 high bits -> uniform in (0, 1), clamped away from 0 for the log
-        uni = _shr(bits, 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        # 24 high bits -> uniform in (0, 1), clamped away from 0 for the log.
+        # Mosaic lacks a uint32->f32 cast; bitcast to int32 is exact here
+        # (the top 8 bits are zero after the shift).
+        uni = jax.lax.bitcast_convert_type(_shr(bits, 8), jnp.int32).astype(
+            jnp.float32
+        ) * (1.0 / (1 << 24))
         uni = jnp.maximum(uni, 1e-7)
         gumbel = -jnp.log(-jnp.log(uni))
         scores = logits * inv_t + gumbel
-    nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-    ids_ref[t] = nxt
-    ch_s[:] = nxt[:, None]
+    # first-argmax via max + masked min-index: plain VPU lane reductions
+    # (jnp.argmax lowers poorly in Mosaic); keepdims keeps (B, 1) layout
+    mx = jnp.max(scores, axis=-1, keepdims=True)
+    nxt = jnp.min(
+        jnp.where(scores >= mx, cols, m), axis=-1, keepdims=True
+    ).astype(jnp.int32)
+    # ids are written into (B, 128) pages via a masked select (dynamic
+    # lane-offset stores must be 128-aligned, which t is not); the page's
+    # block index advances every 128 steps, so Pallas flushes each full page
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b_sz, 128), 1)
+    ids_ref[:] = jnp.where(lane == (t % 128), nxt, ids_ref[:])
+    ch_s[:] = nxt
     hT_ref[:] = h
     cT_ref[:] = c_carry
 
@@ -132,6 +146,7 @@ def _make_gen(length: int, b: int, n: int, m: int, variant: str,
               cdtype_name: str, greedy: bool, inv_t: float, interpret: bool):
     cdtype = jnp.dtype(cdtype_name).type
     f32 = jnp.float32
+    length_pad = -(-length // 128) * 128
 
     def call(seed, WU, bvec, Why, by, first, h0, c0):
         return pl.pallas_call(
@@ -150,12 +165,12 @@ def _make_gen(length: int, b: int, n: int, m: int, variant: str,
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),      # ids resident
+                pl.BlockSpec((b, 128), lambda t: (0, t // 128), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((length, b), jnp.int32),
+                jax.ShapeDtypeStruct((b, length_pad), jnp.int32),
                 jax.ShapeDtypeStruct((b, n), f32),
                 jax.ShapeDtypeStruct((b, n), f32),
             ],
@@ -176,10 +191,16 @@ def _make_gen(length: int, b: int, n: int, m: int, variant: str,
     return call
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "length", "temperature")
+)
 def pallas_sample_ids(params, cfg: ModelConfig, key, first, h0, c0,
                       length: int, temperature: float = 1.0):
     """Single-layer fused generation. Same contract as sampler.sample_ids:
-    returns ((length, B) ids, (hT, cT)) with state shaped (1, B, N)."""
+    returns ((length, B) ids, (hT, cT)) with state shaped (1, B, N).
+    Jitted end-to-end: the wrapper's prep ops (weight stacking, casts, key
+    derivation) would otherwise dispatch eagerly — ~45 ms per op over the
+    tunneled TPU."""
     assert cfg.num_layers == 1, "fused sampler is single-layer"
     b = first.shape[0]
     n, m = cfg.hidden, cfg.vocab
@@ -200,4 +221,5 @@ def pallas_sample_ids(params, cfg: ModelConfig, key, first, h0, c0,
         first.reshape(b, 1).astype(jnp.int32),
         h0[0].astype(jnp.float32), c0[0].astype(jnp.float32),
     )
-    return ids, (hT[None].astype(cfg.pdtype), cT[None].astype(cfg.pdtype))
+    # one transpose + unpad outside the kernel
+    return ids.T[:length], (hT[None].astype(cfg.pdtype), cT[None].astype(cfg.pdtype))
