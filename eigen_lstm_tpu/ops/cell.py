@@ -89,13 +89,20 @@ def matmul(a: jax.Array, w: jax.Array, compute_dtype=jnp.float32, accum_dtype=No
     ``accum_dtype`` (fp32; fp64 for the CPU gradcheck oracle) via
     ``preferred_element_type``. Replaces the reference's cblas_sgemm /
     cublasSgemmEx call sites (``lstm_eigen_BLAS/lstm.cc:548-573``,
-    ``class_CUDA/cu_matrix.cu:133-180``)."""
+    ``class_CUDA/cu_matrix.cu:133-180``).
+
+    ``precision`` is pinned when the compute dtype is fp32/fp64: XLA's
+    *default* TPU precision executes fp32 matmuls at bf16 level (measured
+    maxerr 1e-2 vs 6e-7 with precision="float32" — scripts/gemm_bench.py),
+    which would make --dtype float32 silently bf16 on TPU."""
     if accum_dtype is None:
         accum_dtype = jnp.float64 if compute_dtype == jnp.float64 else jnp.float32
+    precision = None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     return jnp.dot(
         a.astype(compute_dtype),
         w.astype(compute_dtype),
         preferred_element_type=accum_dtype,
+        precision=precision,
     )
 
 
@@ -124,6 +131,10 @@ def _make_embed(cdtype_name: str, adtype_name: str, vocab: int, wdtype_name: str
             oh, g.reshape(-1, g.shape[-1]).astype(cdtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=adtype,
+            precision=(
+                None if jnp.dtype(cdtype) == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST
+            ),
         )
         return (dW.astype(wdtype), None)
 

@@ -41,6 +41,12 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
+def _prec(cdtype):
+    """fp32/fp64 matmuls must pin precision: the default TPU precision
+    executes them at bf16 level (see ops/cell.py matmul)."""
+    return None if jnp.dtype(cdtype) == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+
 def _fwd_kernel(n, variant, cdtype, U_ref, xw_ref, h0_ref, c0_ref,
                 hseq_ref, cseq_ref, gseq_ref, h_s, c_s):
     t = pl.program_id(0)
@@ -54,7 +60,7 @@ def _fwd_kernel(n, variant, cdtype, U_ref, xw_ref, h0_ref, c0_ref,
     c_prev = c_s[:]
     g_pre = xw_ref[0].astype(jnp.float32) + jnp.dot(
         h_prev.astype(cdtype), U_ref[:].astype(cdtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_prec(cdtype),
     )
     iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
     u = jnp.tanh(g_pre[:, 3 * n :])
@@ -122,7 +128,7 @@ def _bwd_kernel(n, s, variant, cdtype, U_ref, gseq_ref, cseq_ref, cprev_ref,
     dh_s[:] = jax.lax.dot_general(
         dg.astype(cdtype), U_ref[:].astype(cdtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_prec(cdtype),
     )
     dc_s[:] = dc_raw * f
     # last-write-wins: after the final iteration these hold d(h0), d(c0)
@@ -241,7 +247,7 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
             h_prev.reshape(s * b, n).astype(cdtype),
             dg_seq.reshape(s * b, 4 * n).astype(cdtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_prec(cdtype),
         )
         return (
             dU.astype(U.dtype),
@@ -313,7 +319,8 @@ def _fwd_embed_kernel(n, m, variant, cdtype, n_split, WU_ref, b_ref, ids_ref,
         xh_s[sl, :m] = onehot
         xh_s[sl, m:] = h_s[sl, :].astype(cdtype)
         pres.append(
-            jnp.dot(xh_s[sl, :], WU_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(xh_s[sl, :], WU_ref[:], preferred_element_type=jnp.float32,
+                    precision=_prec(cdtype))
             + b_ref[:]
         )
     for p in range(n_split):
@@ -422,12 +429,12 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
         dW = jax.lax.dot_general(
             onehot, dg_flat.astype(cdtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=_prec(cdtype),
         )
         dU = jax.lax.dot_general(
             h_prev.astype(cdtype), dg_flat.astype(cdtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=_prec(cdtype),
         )
         dWU = jnp.concatenate([dW, dU], axis=0).astype(WU.dtype)
         db = jnp.sum(dg_flat.astype(f32), axis=0, keepdims=True)

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .pallas_cell import _use_interpret
+from .pallas_cell import _prec, _use_interpret
 
 VMEM_BUDGET = 14 * 1024 * 1024   # leave ~2 MB of the ~16 MB VMEM for Mosaic
 
@@ -65,7 +65,8 @@ def _fwd_tiled_kernel(n, k_tiles, wt, variant, cdtype,
         h_c[:] = h_s[:].astype(cdtype)
 
     pre = xw_ref[0].astype(jnp.float32) + jnp.dot(
-        h_c[:], U_ref[:].astype(cdtype), preferred_element_type=jnp.float32
+        h_c[:], U_ref[:].astype(cdtype), preferred_element_type=jnp.float32,
+        precision=_prec(cdtype),
     )
     is_u = k >= 3 * cpg               # chunk lies in the candidate gate
     act = jnp.where(is_u, jnp.tanh(pre), jax.nn.sigmoid(pre))
@@ -121,7 +122,7 @@ def _bwd_tiled_kernel(n, s, k_tiles, wt, variant, cdtype,
         dh_acc[:] += jax.lax.dot_general(
             dg_k.astype(cdtype), U_ref[:].astype(cdtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_prec(cdtype),
         )
         dgseq_ref[0] = dg_k.astype(dgseq_ref.dtype)
 
@@ -318,7 +319,7 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
         dh0 = jax.lax.dot_general(
             dg_seq[0].astype(cdtype), U.astype(cdtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=_prec(cdtype),
         )
         # dU = sum_t h_{t-1}^T dg_t — one large MXU GEMM over all steps
         h_prev = jnp.concatenate([h0[None].astype(h_seq.dtype), h_seq[:-1]], axis=0)
@@ -326,7 +327,7 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
             h_prev.reshape(s * b, n).astype(cdtype),
             dg_seq.reshape(s * b, 4 * n).astype(cdtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=_prec(cdtype),
         )
         return (
             dU.astype(U.dtype),

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .pallas_cell import _use_interpret
+from .pallas_cell import _prec, _use_interpret
 
 LN2 = 0.6931471805599453
 
@@ -61,7 +61,8 @@ def _fwd_head_kernel(m, n_chunks, Why_ref, by_ref, h_ref, tgt_ref,
         bits_ref[:] = jnp.zeros_like(bits_ref)
 
     logits = (
-        jnp.dot(h_ref[:], Why_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(h_ref[:], Why_ref[:], preferred_element_type=jnp.float32,
+                precision=_prec(Why_ref.dtype))
         + by_ref[:]
     )
     # keep every reduction 2-D (tc, 1): 1-D tc-lane vectors trip Mosaic
@@ -88,7 +89,8 @@ def _bwd_head_kernel(m, n_chunks, Why_ref, by_ref, h_ref, tgt_ref, lse_ref,
         dby_s[:] = jnp.zeros_like(dby_s)
 
     logits = (
-        jnp.dot(h_ref[:], Why_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(h_ref[:], Why_ref[:], preferred_element_type=jnp.float32,
+                precision=_prec(Why_ref.dtype))
         + by_ref[:]
     )
     p = jnp.exp(logits - lse_ref[:])
@@ -101,12 +103,12 @@ def _bwd_head_kernel(m, n_chunks, Why_ref, by_ref, h_ref, tgt_ref, lse_ref,
     dh_ref[:] = jax.lax.dot_general(
         dlog_c, Why_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_prec(Why_ref.dtype),
     ).astype(dh_ref.dtype)
     dWhy_s[:] += jax.lax.dot_general(
         h_ref[:], dlog_c,
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_prec(Why_ref.dtype),
     )
     dby_s[:] += jnp.sum(dlog, axis=0, keepdims=True)
 

@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .pallas_cell import _use_interpret
+from .pallas_cell import _prec, _use_interpret
 
 
 def _shr(x, k):
@@ -68,7 +68,8 @@ def _gen_kernel(n, m, variant, cdtype, greedy, inv_t,
     xh_s[:, :m] = (cols == ch_s[:]).astype(cdtype)
     xh_s[:, m:] = h_s[:].astype(cdtype)
     g_pre = (
-        jnp.dot(xh_s[:], WU_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(xh_s[:], WU_ref[:], preferred_element_type=jnp.float32,
+                precision=_prec(cdtype))
         + b_ref[:]
     )
     iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
@@ -87,7 +88,8 @@ def _gen_kernel(n, m, variant, cdtype, greedy, inv_t,
     c_s[:] = c_carry
 
     logits = (
-        jnp.dot(h.astype(cdtype), Why_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(h.astype(cdtype), Why_ref[:], preferred_element_type=jnp.float32,
+                precision=_prec(cdtype))
         + by_ref[:]
     )
     if greedy:

@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .pallas_cell import _use_interpret
+from .pallas_cell import _prec, _use_interpret
 
 
 def _fwd_math(U, xw, h_full, c_d, nd, variant, cdtype):
@@ -44,7 +44,7 @@ def _fwd_math(U, xw, h_full, c_d, nd, variant, cdtype):
     Shared verbatim by the Pallas kernel body and the CPU fallback."""
     g_pre = xw.astype(jnp.float32) + jnp.dot(
         h_full.astype(cdtype), U.astype(cdtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_prec(cdtype),
     )
     iof = jax.nn.sigmoid(g_pre[:, : 3 * nd])
     u = jnp.tanh(g_pre[:, 3 * nd :])
@@ -167,12 +167,12 @@ def _make_tp_step(b: int, n: int, nd: int, variant: str, cdtype_name: str,
         dh_full = jax.lax.dot_general(
             dg.astype(cdtype), U.astype(cdtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=_prec(cdtype),
         )
         dU = jax.lax.dot_general(
             h_full.astype(cdtype), dg.astype(cdtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=_prec(cdtype),
         )
         return (dU.astype(U.dtype), dg, dh_full.astype(h_full.dtype), dcp)
 
