@@ -347,6 +347,94 @@ def _fwd_embed_kernel(n, m, variant, cdtype, n_split, WU_ref, b_ref, ids_ref,
         )
 
 
+def _bwd_embed_fused_kernel(n, m, s, variant, cdtype,
+                            U_ref, gseq_ref, cseq_ref, cprev_ref, hprev_ref,
+                            c0_ref, h0_ref, ids_ref, dhseq_ref, dhT_ref,
+                            dcT_ref,
+                            dWU_ref, db_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+    """Reverse-time backward with the weight gradients accumulated
+    *in-kernel*: dg never leaves VMEM. Per iteration t (timestep tau=s-1-t),
+    the standard gate backward produces dg in registers; then
+    ``dWU[:M] += onehot(ids_tau)^T @ dg``, ``dWU[M:] += h_{tau-1}^T @ dg``,
+    and ``db += sum_b dg`` accumulate straight into the (constant-index)
+    output blocks. At the headline config this removes the (S·B, 4N) dg
+    stream entirely (write + two GEMM reads, ~150 MB per window)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_s[:] = dhT_ref[:].astype(jnp.float32)
+        dc_s[:] = dcT_ref[:].astype(jnp.float32)
+        dWU_ref[:] = jnp.zeros_like(dWU_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    g = gseq_ref[0].astype(jnp.float32)
+    i = g[:, :n]
+    o = g[:, n : 2 * n]
+    f = g[:, 2 * n : 3 * n]
+    u = g[:, 3 * n :]
+    c_t = cseq_ref[0].astype(jnp.float32)
+    is_first_step = t == s - 1     # timestep 0
+    c_prev = jnp.where(
+        is_first_step,
+        c0_ref[:].astype(jnp.float32),
+        cprev_ref[0].astype(jnp.float32),
+    )
+    dh_total = dhseq_ref[0].astype(jnp.float32) + dh_s[:]
+    if variant == "reference":
+        dct = dh_total * o + dc_s[:]
+        dc_raw = dct * (1.0 - c_t * c_t)
+        do = dh_total * c_t
+    else:
+        tc = jnp.tanh(c_t)
+        dc_raw = dh_total * o * (1.0 - tc * tc) + dc_s[:]
+        do = dh_total * tc
+    di = dc_raw * u
+    du = dc_raw * i
+    df = dc_raw * c_prev
+    dg = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            do * o * (1.0 - o),
+            df * f * (1.0 - f),
+            du * (1.0 - u * u),
+        ],
+        axis=-1,
+    )
+    dg_c = dg.astype(cdtype)
+
+    # weight-gradient accumulation (contraction over the B sublanes)
+    b_sz = dh_s.shape[0]
+    ids_t = ids_ref[s - 1 - t]                             # (B,)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b_sz, m), 1)
+    onehot = (cols == ids_t[:, None]).astype(cdtype)
+    dWU_ref[:m] += jax.lax.dot_general(
+        onehot, dg_c,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(cdtype),
+    )
+    h_prev = jnp.where(
+        is_first_step,
+        h0_ref[:].astype(jnp.float32),
+        hprev_ref[0].astype(jnp.float32),
+    )
+    dWU_ref[m:] += jax.lax.dot_general(
+        h_prev.astype(cdtype), dg_c,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(cdtype),
+    )
+    db_ref[:] += jnp.sum(dg, axis=0, keepdims=True)
+
+    dh_s[:] = jax.lax.dot_general(
+        dg_c, U_ref[:].astype(cdtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(cdtype),
+    )
+    dc_s[:] = dc_raw * f
+    dh0_ref[:] = dh_s[:]
+    dc0_ref[:] = dc_s[:]
+
+
 @functools.lru_cache(maxsize=64)
 def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                           cdtype_name: str, rdtype_name: str, interpret: bool,
@@ -400,6 +488,68 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
             interpret=interpret,
         )(WU, bvec, ids, h0, c0)
 
+    # in-kernel weight-grad accumulation needs the f32 dWU output block
+    # resident alongside the bwd working set; gate by VMEM. The estimate is
+    # conservative-ish (measured: the headline H=512 f32-residual case at an
+    # estimated 15.5 MB compiles and runs); past the gate Mosaic fails with
+    # a clean scoped-vmem compile error — use --residual-dtype bfloat16.
+    rbytes = 2 if rdtype_name == "bfloat16" else 4
+    fused_accum_ok = (
+        (m + n) * 4 * n * 4                  # dWU f32 output block
+        + n * 4 * n * (2 if cdtype_name == "bfloat16" else 4)   # U resident
+        + 2 * b * 4 * n * rbytes             # gseq blocks (x2 buf)
+        + 6 * b * n * rbytes                 # cseq/cprev/hprev blocks
+        + 2 * b * n * 4                      # dhseq blocks
+        + 6 * b * n * 4                      # c0/h0/dhT/dcT/dh_s/dc_s
+    ) <= 16 * 1024 * 1024
+
+    def bwd_fused_call(WU, g_seq, c_seq, h_seq, ids, h0, c0, dh_seq, dhT, dcT):
+        smax = max(s - 2, 0)
+        return pl.pallas_call(
+            functools.partial(
+                _bwd_embed_fused_kernel, n, m, s, variant, cdtype
+            ),
+            grid=(s,),
+            in_specs=[
+                pl.BlockSpec((n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, 4 * n), lambda t: (s - 1 - t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, n), lambda t: (s - 1 - t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, n), lambda t: (jnp.clip(s - 2 - t, 0, smax), 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, n), lambda t: (jnp.clip(s - 2 - t, 0, smax), 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),      # ids (S, B)
+                pl.BlockSpec((1, b, n), lambda t: (s - 1 - t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((m + n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((m + n, 4 * n), f32),
+                jax.ShapeDtypeStruct((1, 4 * n), f32),
+                jax.ShapeDtypeStruct((b, n), f32),
+                jax.ShapeDtypeStruct((b, n), f32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b, n), f32),
+                pltpu.VMEM((b, n), f32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * s * b * 4 * n * (2 * n + m + n),
+                bytes_accessed=(
+                    (m + 2 * n) * 4 * n * 4 + s * b * 4 * n * rbytes
+                    + 4 * s * b * n * rbytes
+                ),
+                transcendentals=s * b * n,
+            ),
+            interpret=interpret,
+        )(WU[m:], g_seq, c_seq, c_seq, h_seq, c0, h0, ids, dh_seq, dhT, dcT)
+
     @jax.custom_vjp
     def fused_embed_seq(WU, bvec, ids, h0, c0):
         h_seq, c_seq, _ = fwd_call(WU, bvec, ids, h0, c0)
@@ -413,8 +563,19 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
     def bwd(res, cot):
         WU, h_seq, c_seq, g_seq, ids, h0, c0 = res
         dh_seq, (dhT, dcT) = cot
+        if fused_accum_ok:
+            dWU, db, dh0, dc0 = bwd_fused_call(
+                WU, g_seq, c_seq, h_seq, ids.astype(jnp.int32),
+                h0.astype(jnp.float32), c0.astype(jnp.float32),
+                dh_seq.astype(jnp.float32),
+                dhT.astype(jnp.float32), dcT.astype(jnp.float32),
+            )
+            return (
+                dWU.astype(WU.dtype), db, None,
+                dh0.astype(h0.dtype), dc0.astype(c0.dtype),
+            )
         U = WU[m:]
-        # reuse the standard reverse-time kernel (it only needs U)
+        # fall back: reverse-time kernel emits dg, weight grads as GEMMs
         dg_seq, dh0, dc0 = base.bwd_call(
             U, g_seq, c_seq, c0.astype(jnp.float32),
             dh_seq.astype(jnp.float32),
