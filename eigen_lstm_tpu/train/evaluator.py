@@ -22,7 +22,9 @@ from ..config import ModelConfig
 from ..models import lstm as model
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "n_chunks"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "chunk", "n_chunks", "cell_fn")
+)
 def _score_streams(
     params: model.LSTMParams,
     x: jax.Array,        # (T, E) int32 inputs, T = n_chunks * chunk
@@ -31,6 +33,7 @@ def _score_streams(
     cfg: ModelConfig,
     chunk: int,
     n_chunks: int,
+    cell_fn=None,
 ) -> jax.Array:
     """Sum of -log2 p(target) over the masked (T, E) positions."""
     e = x.shape[1]
@@ -42,7 +45,7 @@ def _score_streams(
     def body(carry, xt):
         h, c, acc = carry
         xi, ti, mi = xt
-        h_seq, (h, c) = model.forward(params, xi, h, c, cfg)
+        h_seq, (h, c) = model.forward(params, xi, h, c, cfg, cell_fn=cell_fn)
         logits = model.logits_from_h(params, h_seq, cfg)
         bits = model.softmax_xent_bits(logits, ti)
         return (h, c, acc + jnp.sum(bits * mi)), None
@@ -58,9 +61,12 @@ def evaluate_bpc(
     eval_batch: int = 16,
     chunk: int = 128,
     max_chars: Optional[int] = None,
+    cell_fn=None,
 ) -> float:
     """bits/char on the held-out split (reference ``test()``, parity at
-    ``eval_batch=1``). ``max_chars`` caps scored bytes for timed evals."""
+    ``eval_batch=1``). ``max_chars`` caps scored bytes for timed evals.
+    ``cell_fn``: optional Pallas recurrence backend (the trainer passes its
+    own, so timed evals don't fall back to the slow-compiling XLA scan)."""
     data = test_data
     if max_chars is not None and len(data) > max_chars + 1:
         data = data[: max_chars + 1]
@@ -100,5 +106,6 @@ def evaluate_bpc(
         cfg,
         chunk,
         n_chunks,
+        cell_fn,
     )
     return float(total) / usable

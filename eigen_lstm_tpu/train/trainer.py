@@ -381,6 +381,7 @@ class Trainer:
             self.test_np,
             self.mcfg,
             max_chars=self.tcfg.eval_chars,
+            cell_fn=self.cell_fn,
         )
         cps, gflops, mfu = self.meter.rates(chars_done, wall_s)
         row = metrics_mod.ResultRow(
@@ -433,6 +434,7 @@ class Trainer:
             self.test_np,
             self.mcfg,
             max_chars=max_chars or self.tcfg.eval_chars,
+            cell_fn=self.cell_fn,
         )
 
     def gradcheck(self, samples_per_tensor: int = 100) -> bool:
