@@ -136,11 +136,14 @@ def _configs(args):
     # quality defaults (VERDICT r1): resolve auto lr/warmup so the documented
     # commands converge out of the box (measured sweep, docs/PERFORMANCE.md)
     lr = args.lr if args.lr is not None else (0.1 if args.hidden < 512 else 0.02)
-    warmup = (
-        args.warmup
-        if args.warmup is not None
-        else min(50 * args.seq, getattr(args, "steps", 10000) // 10)
-    )
+    if args.warmup is not None:
+        warmup = args.warmup
+    elif getattr(args, "epochs", None):
+        # epoch-driven runs are long: use the reference's full 50*S recipe
+        # (the steps//10 cap exists only so *short* --steps runs still train)
+        warmup = 50 * args.seq
+    else:
+        warmup = min(50 * args.seq, getattr(args, "steps", 10000) // 10)
     tcfg = TrainConfig(
         lr=lr,
         adagrad_eps=args.adagrad_eps,

@@ -47,6 +47,43 @@ def _prec(cdtype):
     return None if jnp.dtype(cdtype) == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
 
+def _cell_fwd(i, o, f, u, c_prev, variant):
+    """Elementwise cell update from *activated* gates — the single source of
+    the parity-critical carry semantics (reference: destructive c <- tanh(c),
+    root lstm.cc:185-192) shared by every kernel body. Works on any slice
+    width. Returns (h, c_carry)."""
+    c_raw = i * u + f * c_prev
+    if variant == "reference":
+        c2 = jnp.tanh(c_raw)
+        return o * c2, c2
+    return o * jnp.tanh(c_raw), c_raw
+
+
+def _gate_bwd(i, o, f, u, c_t, c_prev, dh_total, dc, variant):
+    """Elementwise gate backward shared by every backward kernel body (any
+    slice width). Returns ((dgi, dgo, dgf, dgu), dc_carried)."""
+    if variant == "reference":
+        dct = dh_total * o + dc
+        dc_raw = dct * (1.0 - c_t * c_t)
+        do = dh_total * c_t
+    else:
+        tc = jnp.tanh(c_t)
+        dc_raw = dh_total * o * (1.0 - tc * tc) + dc
+        do = dh_total * tc
+    di = dc_raw * u
+    du = dc_raw * i
+    df = dc_raw * c_prev
+    return (
+        (
+            di * i * (1.0 - i),
+            do * o * (1.0 - o),
+            df * f * (1.0 - f),
+            du * (1.0 - u * u),
+        ),
+        dc_raw * f,
+    )
+
+
 def _fwd_kernel(n, variant, cdtype, U_ref, xw_ref, h0_ref, c0_ref,
                 hseq_ref, cseq_ref, gseq_ref, h_s, c_s):
     t = pl.program_id(0)
@@ -64,16 +101,9 @@ def _fwd_kernel(n, variant, cdtype, U_ref, xw_ref, h0_ref, c0_ref,
     )
     iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
     u = jnp.tanh(g_pre[:, 3 * n :])
-    i = iof[:, :n]
-    o = iof[:, n : 2 * n]
-    f = iof[:, 2 * n : 3 * n]
-    c_raw = i * u + f * c_prev
-    if variant == "reference":
-        c_carry = jnp.tanh(c_raw)       # destructive squash, root lstm.cc:189
-        h = o * c_carry
-    else:
-        c_carry = c_raw
-        h = o * jnp.tanh(c_raw)
+    h, c_carry = _cell_fwd(
+        iof[:, :n], iof[:, n : 2 * n], iof[:, 2 * n : 3 * n], u, c_prev, variant
+    )
     h_s[:] = h
     c_s[:] = c_carry
     hseq_ref[0] = h.astype(hseq_ref.dtype)
@@ -105,23 +135,8 @@ def _bwd_kernel(n, s, variant, cdtype, U_ref, gseq_ref, cseq_ref, cprev_ref,
     )
 
     dh_total = dhseq_ref[0].astype(jnp.float32) + dh_s[:]
-    if variant == "reference":
-        # c_t is already tanh-squashed
-        dct = dh_total * o + dc_s[:]
-        dc_raw = dct * (1.0 - c_t * c_t)
-        do = dh_total * c_t
-    else:
-        tc = jnp.tanh(c_t)
-        dc_raw = dh_total * o * (1.0 - tc * tc) + dc_s[:]
-        do = dh_total * tc
-    di = dc_raw * u
-    du = dc_raw * i
-    df = dc_raw * c_prev
-    dgi = di * i * (1.0 - i)
-    dgo = do * o * (1.0 - o)
-    dgf = df * f * (1.0 - f)
-    dgu = du * (1.0 - u * u)
-    dg = jnp.concatenate([dgi, dgo, dgf, dgu], axis=-1)
+    dgs, dc_next = _gate_bwd(i, o, f, u, c_t, c_prev, dh_total, dc_s[:], variant)
+    dg = jnp.concatenate(dgs, axis=-1)
     dgseq_ref[0] = dg.astype(dgseq_ref.dtype)
 
     # dh_{t-1} = dg @ U^T  (contract the 4N axis)
@@ -130,7 +145,7 @@ def _bwd_kernel(n, s, variant, cdtype, U_ref, gseq_ref, cseq_ref, cprev_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_prec(cdtype),
     )
-    dc_s[:] = dc_raw * f
+    dc_s[:] = dc_next
     # last-write-wins: after the final iteration these hold d(h0), d(c0)
     dh0_ref[:] = dh_s[:]
     dc0_ref[:] = dc_s[:]
@@ -328,16 +343,10 @@ def _fwd_embed_kernel(n, m, variant, cdtype, n_split, WU_ref, b_ref, ids_ref,
         g_pre = pres[p]
         iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
         u = jnp.tanh(g_pre[:, 3 * n :])
-        i = iof[:, :n]
-        o = iof[:, n : 2 * n]
-        f = iof[:, 2 * n : 3 * n]
-        c_raw = i * u + f * c_s[sl, :]
-        if variant == "reference":
-            c_carry = jnp.tanh(c_raw)
-            h = o * c_carry
-        else:
-            c_carry = c_raw
-            h = o * jnp.tanh(c_raw)
+        h, c_carry = _cell_fwd(
+            iof[:, :n], iof[:, n : 2 * n], iof[:, 2 * n : 3 * n], u,
+            c_s[sl, :], variant,
+        )
         h_s[sl, :] = h
         c_s[sl, :] = c_carry
         hseq_ref[0, sl, :] = h.astype(hseq_ref.dtype)
@@ -381,26 +390,8 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype,
         cprev_ref[0].astype(jnp.float32),
     )
     dh_total = dhseq_ref[0].astype(jnp.float32) + dh_s[:]
-    if variant == "reference":
-        dct = dh_total * o + dc_s[:]
-        dc_raw = dct * (1.0 - c_t * c_t)
-        do = dh_total * c_t
-    else:
-        tc = jnp.tanh(c_t)
-        dc_raw = dh_total * o * (1.0 - tc * tc) + dc_s[:]
-        do = dh_total * tc
-    di = dc_raw * u
-    du = dc_raw * i
-    df = dc_raw * c_prev
-    dg = jnp.concatenate(
-        [
-            di * i * (1.0 - i),
-            do * o * (1.0 - o),
-            df * f * (1.0 - f),
-            du * (1.0 - u * u),
-        ],
-        axis=-1,
-    )
+    dgs, dc_next = _gate_bwd(i, o, f, u, c_t, c_prev, dh_total, dc_s[:], variant)
+    dg = jnp.concatenate(dgs, axis=-1)
     dg_c = dg.astype(cdtype)
 
     # weight-gradient accumulation (contraction over the B sublanes)
@@ -430,7 +421,7 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_prec(cdtype),
     )
-    dc_s[:] = dc_raw * f
+    dc_s[:] = dc_next
     dh0_ref[:] = dh_s[:]
     dc0_ref[:] = dc_s[:]
 

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .pallas_cell import _prec, _use_interpret
+from .pallas_cell import _cell_fwd, _gate_bwd, _prec, _use_interpret
 
 VMEM_BUDGET = 14 * 1024 * 1024   # leave ~2 MB of the ~16 MB VMEM for Mosaic
 
@@ -80,17 +80,10 @@ def _fwd_tiled_kernel(n, k_tiles, wt, variant, cdtype,
         # (B, 4N) f32 row would blow Mosaic's scoped-VMEM stack at N=2048
         for kk in range(cpg):
             sl = slice(kk * wt, (kk + 1) * wt)
-            i = g_s[kk]
-            o = g_s[cpg + kk]
-            f = g_s[2 * cpg + kk]
-            u = g_s[3 * cpg + kk]
-            c_raw = i * u + f * c_s[:, sl]
-            if variant == "reference":
-                c_carry = jnp.tanh(c_raw)  # destructive squash, lstm.cc:189
-                h = o * c_carry
-            else:
-                c_carry = c_raw
-                h = o * jnp.tanh(c_raw)
+            h, c_carry = _cell_fwd(
+                g_s[kk], g_s[cpg + kk], g_s[2 * cpg + kk], g_s[3 * cpg + kk],
+                c_s[:, sl], variant,
+            )
             h_s[:, sl] = h
             c_s[:, sl] = c_carry
             hseq_ref[0, :, sl] = h.astype(hseq_ref.dtype)
@@ -150,22 +143,12 @@ def _bwd_tiled_kernel(n, s, k_tiles, wt, variant, cdtype,
                 j == 0, dhT_ref[:, sl].astype(jnp.float32), dh_acc[:, sl]
             )
             dh_total = dhseq_ref[0, :, sl].astype(jnp.float32) + dh_carried
-            if variant == "reference":
-                dct = dh_total * o + dc_s[:, sl]
-                dc_raw = dct * (1.0 - c_t * c_t)
-                do = dh_total * c_t
-            else:
-                tc = jnp.tanh(c_t)
-                dc_raw = dh_total * o * (1.0 - tc * tc) + dc_s[:, sl]
-                do = dh_total * tc
-            di = dc_raw * u
-            du = dc_raw * i
-            df = dc_raw * c_prev
-            dg_s[kk] = (di * i * (1.0 - i)).astype(dg_s.dtype)
-            dg_s[cpg + kk] = (do * o * (1.0 - o)).astype(dg_s.dtype)
-            dg_s[2 * cpg + kk] = (df * f * (1.0 - f)).astype(dg_s.dtype)
-            dg_s[3 * cpg + kk] = (du * (1.0 - u * u)).astype(dg_s.dtype)
-            dc_s[:, sl] = dc_raw * f
+            dgs, dc_next = _gate_bwd(
+                i, o, f, u, c_t, c_prev, dh_total, dc_s[:, sl], variant
+            )
+            for gi, dg_slice in enumerate(dgs):
+                dg_s[gi * cpg + kk] = dg_slice.astype(dg_s.dtype)
+            dc_s[:, sl] = dc_next
             dc0_ref[:, sl] = dc_s[:, sl]    # last-write-wins at j = s-1
 
 

@@ -189,7 +189,10 @@ def _make_head(t: int, n: int, m: int, chunk: int, cdtype_name: str,
         dh, dWhy, dby = bwd_call(
             Why, by, h, tgt, lse, cot.astype(f32).reshape(1)
         )
-        return (dWhy.astype(Why.dtype), dby[0].astype(by.dtype), dh, None)
+        # dby must match the (1, m) primal exactly — standard JAX enforces
+        # custom_vjp cotangent shapes (the axon sitecustomize hook disables
+        # that check, which hid a (m,) return here)
+        return (dWhy.astype(Why.dtype), dby.astype(by.dtype), dh, None)
 
     head_bits_sum.defvjp(head_fwd, head_bwd)
     return head_bits_sum

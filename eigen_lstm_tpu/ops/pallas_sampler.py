@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .pallas_cell import _prec, _use_interpret
+from .pallas_cell import _cell_fwd, _prec, _use_interpret
 
 
 def _shr(x, k):
@@ -74,16 +74,9 @@ def _gen_kernel(n, m, variant, cdtype, greedy, inv_t,
     )
     iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
     u = jnp.tanh(g_pre[:, 3 * n :])
-    i = iof[:, :n]
-    o = iof[:, n : 2 * n]
-    f = iof[:, 2 * n : 3 * n]
-    c_raw = i * u + f * c_s[:]
-    if variant == "reference":
-        c_carry = jnp.tanh(c_raw)       # destructive squash, root lstm.cc:189
-        h = o * c_carry
-    else:
-        c_carry = c_raw
-        h = o * jnp.tanh(c_raw)
+    h, c_carry = _cell_fwd(
+        iof[:, :n], iof[:, n : 2 * n], iof[:, 2 * n : 3 * n], u, c_s[:], variant
+    )
     h_s[:] = h
     c_s[:] = c_carry
 

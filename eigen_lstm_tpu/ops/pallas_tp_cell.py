@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .pallas_cell import _prec, _use_interpret
+from .pallas_cell import _cell_fwd, _gate_bwd, _prec, _use_interpret
 
 
 def _fwd_math(U, xw, h_full, c_d, nd, variant, cdtype):
@@ -48,16 +48,10 @@ def _fwd_math(U, xw, h_full, c_d, nd, variant, cdtype):
     )
     iof = jax.nn.sigmoid(g_pre[:, : 3 * nd])
     u = jnp.tanh(g_pre[:, 3 * nd :])
-    i = iof[:, :nd]
-    o = iof[:, nd : 2 * nd]
-    f = iof[:, 2 * nd : 3 * nd]
-    c_raw = i * u + f * c_d.astype(jnp.float32)
-    if variant == "reference":
-        c2 = jnp.tanh(c_raw)            # destructive squash, root lstm.cc:189
-        h2 = o * c2
-    else:
-        c2 = c_raw
-        h2 = o * jnp.tanh(c_raw)
+    h2, c2 = _cell_fwd(
+        iof[:, :nd], iof[:, nd : 2 * nd], iof[:, 2 * nd : 3 * nd], u,
+        c_d.astype(jnp.float32), variant,
+    )
     return h2, c2, jnp.concatenate([iof, u], axis=-1)
 
 
@@ -68,30 +62,11 @@ def _bwd_math(g, c2, c_prev, dh, dc, nd, variant):
     o = g[:, nd : 2 * nd]
     f = g[:, 2 * nd : 3 * nd]
     u = g[:, 3 * nd :]
-    c2 = c2.astype(jnp.float32)
-    dh = dh.astype(jnp.float32)
-    dc = dc.astype(jnp.float32)
-    if variant == "reference":
-        dct = dh * o + dc
-        dc_raw = dct * (1.0 - c2 * c2)
-        do = dh * c2
-    else:
-        tc = jnp.tanh(c2)
-        dc_raw = dh * o * (1.0 - tc * tc) + dc
-        do = dh * tc
-    di = dc_raw * u
-    du = dc_raw * i
-    df = dc_raw * c_prev.astype(jnp.float32)
-    dg = jnp.concatenate(
-        [
-            di * i * (1.0 - i),
-            do * o * (1.0 - o),
-            df * f * (1.0 - f),
-            du * (1.0 - u * u),
-        ],
-        axis=-1,
+    dgs, dc_next = _gate_bwd(
+        i, o, f, u, c2.astype(jnp.float32), c_prev.astype(jnp.float32),
+        dh.astype(jnp.float32), dc.astype(jnp.float32), variant,
     )
-    return dg, dc_raw * f
+    return jnp.concatenate(dgs, axis=-1), dc_next
 
 
 def _step_fwd_kernel(nd, variant, cdtype, U_ref, xw_ref, h_ref, c_ref,

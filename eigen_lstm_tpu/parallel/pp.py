@@ -274,7 +274,14 @@ def make_pp_superstep(
     """Full jitted K-step *training* superstep over the stage mesh: window
     gather → pipelined fwd/bwd → Adagrad → cursor advance → stream-state
     carry, mirroring trainer.make_superstep step-for-step so PP training is
-    bitwise-comparable to the single-device path (tests/test_pp.py)."""
+    bitwise-comparable to the single-device path (tests/test_pp.py).
+
+    One documented exception: with ``reset_std > 0`` the stream-reset noise
+    is drawn per stage (the stage index is folded into the key so stages
+    decorrelate), which is a *different* random stream than the
+    single-device trainer's one (L, B, N) draw — seeds are this framework's
+    own convention (the reference's RNG is irreproducible, SURVEY.md §2.2),
+    so PP-vs-single parity is exact only at reset_std = 0 (the default)."""
     from ..data import corpus as corpus_mod
     from ..train import optimizer as opt_mod
     from ..train.trainer import TrainState

@@ -75,6 +75,11 @@ def evaluate_bpc(
         raise ValueError("test split too small to evaluate")
     if usable < eval_batch * chunk:
         eval_batch = 1
+    if cell_fn is not None and (eval_batch % 8 != 0 or cfg.hidden % 128 != 0):
+        # the Pallas kernels were gated for the *training* batch; re-gate
+        # for the eval batch (tiny splits drop to a single stream, which
+        # violates the batch%8 sublane requirement) — fall back to XLA
+        cell_fn = None
     # every byte is scored exactly once (the reference's test() scores the
     # full split, class_CUDA/lstm.cc:661-720): streams cover ceil-sized
     # contiguous spans, the padded tail masked out of the bit sum

@@ -346,15 +346,30 @@ class Trainer:
         params = self.canonical_params()
         h, c = self.state.h, self.state.c
 
-        def one(cell_fn):
-            def f(p):
-                return model.loss_fn(p, x, t, h, c, self.mcfg, cell_fn)[0]
+        if getattr(self, "_crosscheck_key", None) is not self.cell_fn:
+            self._crosscheck_key = self.cell_fn
+            self._crosscheck_fns = None
+        if self._crosscheck_fns is None:
+            # compile once per backend; data enters as arguments so repeated
+            # checks reuse the executable instead of retracing with the
+            # current window baked in as constants (an XLA-scan recompile
+            # costs minutes over the tunneled TPU)
+            def make(cell_fn):
+                def f(p, x, t, h, c):
+                    loss = model.loss_fn(p, x, t, h, c, self.mcfg, cell_fn)[0]
+                    return loss
 
-            loss, grads = jax.jit(jax.value_and_grad(f))(params)
-            return float(loss), float(opt_mod.global_norm(grads))
+                def loss_and_gnorm(p, x, t, h, c):
+                    loss, grads = jax.value_and_grad(f)(p, x, t, h, c)
+                    return loss, opt_mod.global_norm(grads)
 
-        l_pal, g_pal = one(self.cell_fn)
-        l_xla, g_xla = one(None)
+                return jax.jit(loss_and_gnorm)
+
+            self._crosscheck_fns = (make(self.cell_fn), make(None))
+
+        fn_pal, fn_xla = self._crosscheck_fns
+        l_pal, g_pal = (float(v) for v in fn_pal(params, x, t, h, c))
+        l_xla, g_xla = (float(v) for v in fn_xla(params, x, t, h, c))
         dl = abs(l_pal - l_xla) / max(abs(l_xla), 1e-12)
         dg = abs(g_pal - g_xla) / max(abs(g_xla), 1e-12)
         ok = dl <= tol and dg <= tol

@@ -144,6 +144,10 @@ def main():
         "compute dtype. Rows 6-7 are the reference's own GPU config",
         "(N=256 S=25 B=16, sliding windows, loss-on-last) on the mirrored",
         "world192/book1 corpora (SURVEY.md §6).",
+        "Config 2 (fp32) runs ~3x slower than round 1: fp32 matmuls now pin",
+        "Precision.HIGHEST (three-pass MXU) because XLA's default executed them at",
+        "bf16 precision — round-1's fp32 number was effectively bf16 math",
+        "(docs/PERFORMANCE.md). Use --dtype bfloat16 for throughput.",
         "Config 5's 8-chip DP version is compile+execute validated on an",
         "8-device virtual mesh (`__graft_entry__.dryrun_multichip`,",
         "tests/test_parallel.py); this box has a single physical chip.",
