@@ -43,8 +43,7 @@ def sample_ids(
 
         on_tpu = _jax.devices()[0].platform == "tpu"
         ok = (
-            cfg.num_layers == 1
-            and ps.supported(cfg, int(first.shape[0]), length)
+            ps.supported(cfg, int(first.shape[0]), length)
             and (on_tpu or backend == "pallas")
         )
         if ok:

@@ -48,37 +48,48 @@ def _fmix32(x):
     return x
 
 
-def _gen_kernel(n, m, variant, cdtype, greedy, inv_t,
+def _gen_kernel(n, m, n_layers, dmax, variant, cdtype, greedy, inv_t,
                 seed_ref, WU_ref, b_ref, Why_ref, by_ref,
                 first_ref, h0_ref, c0_ref,
                 ids_ref, hT_ref, cT_ref,
                 h_s, c_s, ch_s, xh_s):
     t = pl.program_id(0)
-    b_sz = h_s.shape[0]
+    b_sz = ch_s.shape[0]
 
     @pl.when(t == 0)
     def _():
         h_s[:] = h0_ref[:].astype(jnp.float32)
         c_s[:] = c0_ref[:].astype(jnp.float32)
         ch_s[:] = first_ref[:]
+        # the padded tail of xh (beyond any layer's input width) multiplies
+        # zero weight rows, but uninitialized bf16 garbage can be NaN and
+        # NaN * 0 = NaN — zero the scratch once
+        xh_s[:] = jnp.zeros_like(xh_s)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (b_sz, m), 1)
     # everything stays in (B, 1)-column layout: (B,) sublane vectors would
     # force a cross-layout relayout every step
-    xh_s[:, :m] = (cols == ch_s[:]).astype(cdtype)
-    xh_s[:, m:] = h_s[:].astype(cdtype)
-    g_pre = (
-        jnp.dot(xh_s[:], WU_ref[:], preferred_element_type=jnp.float32,
-                precision=_prec(cdtype))
-        + b_ref[:]
-    )
-    iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
-    u = jnp.tanh(g_pre[:, 3 * n :])
-    h, c_carry = _cell_fwd(
-        iof[:, :n], iof[:, n : 2 * n], iof[:, 2 * n : 3 * n], u, c_s[:], variant
-    )
-    h_s[:] = h
-    c_s[:] = c_carry
+    h = None
+    for l in range(n_layers):
+        if l == 0:
+            xh_s[:, :m] = (cols == ch_s[:]).astype(cdtype)
+            xh_s[:, m : m + n] = h_s[l].astype(cdtype)
+        else:
+            xh_s[:, :n] = h.astype(cdtype)
+            xh_s[:, n : 2 * n] = h_s[l].astype(cdtype)
+        g_pre = (
+            jnp.dot(xh_s[:], WU_ref[l], preferred_element_type=jnp.float32,
+                    precision=_prec(cdtype))
+            + b_ref[l]
+        )
+        iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
+        u = jnp.tanh(g_pre[:, 3 * n :])
+        h, c_carry = _cell_fwd(
+            iof[:, :n], iof[:, n : 2 * n], iof[:, 2 * n : 3 * n], u,
+            c_s[l], variant,
+        )
+        h_s[l] = h
+        c_s[l] = c_carry
 
     logits = (
         jnp.dot(h.astype(cdtype), Why_ref[:], preferred_element_type=jnp.float32,
@@ -117,63 +128,67 @@ def _gen_kernel(n, m, variant, cdtype, greedy, inv_t,
     lane = jax.lax.broadcasted_iota(jnp.int32, (b_sz, 128), 1)
     ids_ref[:] = jnp.where(lane == (t % 128), nxt, ids_ref[:])
     ch_s[:] = nxt
-    hT_ref[:] = h
-    cT_ref[:] = c_carry
+    hT_ref[:] = h_s[:]
+    cT_ref[:] = c_s[:]
 
 
 def supported(cfg: ModelConfig, batch: int, length: int) -> bool:
-    """VMEM gate: stacked [W; U] + head + the full ids output must fit."""
-    n, m = cfg.hidden, cfg.vocab
+    """VMEM gate: every layer's padded [W; U] + head + ids pages must fit."""
+    n, m, L = cfg.hidden, cfg.vocab, cfg.num_layers
     if n % 128 != 0 or m % 128 != 0 or batch % 8 != 0:
         return False
+    dmax = max(m + n, 2 * n)
     cbytes = 2 if cfg.compute_dtype == "bfloat16" else 4
     total = (
-        (m + n) * 4 * n * cbytes       # stacked [W; U]
+        L * dmax * 4 * n * cbytes      # padded per-layer [W; U] stack
         + n * m * cbytes + 4 * m       # head
         + length * batch * 4           # resident ids output
-        + batch * (2 * n * 4 + (m + n) * cbytes + 4 * m)   # state + scratch
+        + batch * (2 * L * n * 4 + dmax * cbytes + 4 * m)  # state + scratch
     )
     return total <= 13 * 1024 * 1024
 
 
 @functools.lru_cache(maxsize=32)
-def _make_gen(length: int, b: int, n: int, m: int, variant: str,
-              cdtype_name: str, greedy: bool, inv_t: float, interpret: bool):
+def _make_gen(length: int, b: int, n: int, m: int, n_layers: int,
+              variant: str, cdtype_name: str, greedy: bool, inv_t: float,
+              interpret: bool):
     cdtype = jnp.dtype(cdtype_name).type
     f32 = jnp.float32
     length_pad = -(-length // 128) * 128
+    dmax = max(m + n, 2 * n)
 
     def call(seed, WU, bvec, Why, by, first, h0, c0):
         return pl.pallas_call(
             functools.partial(
-                _gen_kernel, n, m, variant, cdtype, greedy, inv_t
+                _gen_kernel, n, m, n_layers, dmax, variant, cdtype, greedy,
+                inv_t
             ),
             grid=(length,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((m + n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_layers, dmax, 4 * n), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_layers, 1, 4 * n), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((n, m), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, m), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),      # first (B,1)
-                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_layers, b, n), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_layers, b, n), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((b, 128), lambda t: (0, t // 128), memory_space=pltpu.VMEM),
-                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_layers, b, n), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_layers, b, n), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((b, length_pad), jnp.int32),
-                jax.ShapeDtypeStruct((b, n), f32),
-                jax.ShapeDtypeStruct((b, n), f32),
+                jax.ShapeDtypeStruct((n_layers, b, n), f32),
+                jax.ShapeDtypeStruct((n_layers, b, n), f32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((b, n), f32),
-                pltpu.VMEM((b, n), f32),
+                pltpu.VMEM((n_layers, b, n), f32),
+                pltpu.VMEM((n_layers, b, n), f32),
                 pltpu.VMEM((b, 1), jnp.int32),
-                pltpu.VMEM((b, m + n), cdtype),
+                pltpu.VMEM((b, dmax), cdtype),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * length * b * ((m + n) * 4 * n + n * m),
@@ -191,30 +206,39 @@ def _make_gen(length: int, b: int, n: int, m: int, variant: str,
 )
 def pallas_sample_ids(params, cfg: ModelConfig, key, first, h0, c0,
                       length: int, temperature: float = 1.0):
-    """Single-layer fused generation. Same contract as sampler.sample_ids:
-    returns ((length, B) ids, (hT, cT)) with state shaped (1, B, N).
+    """Fused generation for stacked models. Same contract as
+    sampler.sample_ids: returns ((length, B) ids, (hT, cT)) with state
+    shaped (L, B, N). Per-layer [W; U] stacks are zero-padded to a common
+    input width so one resident (L, Dmax, 4N) tensor serves every layer.
     Jitted end-to-end: the wrapper's prep ops (weight stacking, casts, key
     derivation) would otherwise dispatch eagerly — ~45 ms per op over the
     tunneled TPU."""
-    assert cfg.num_layers == 1, "fused sampler is single-layer"
     b = first.shape[0]
-    n, m = cfg.hidden, cfg.vocab
+    n, m, L = cfg.hidden, cfg.vocab, cfg.num_layers
+    dmax = max(m + n, 2 * n)
     greedy = temperature == 0.0
     inv_t = 0.0 if greedy else 1.0 / float(temperature)
     call = _make_gen(
-        length, b, n, m, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
+        length, b, n, m, L, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         greedy, inv_t, _use_interpret(),
     )
-    layer = params.layers[0]
-    WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
-    bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)
+    wu_pad = []
+    for layer in params.layers:
+        wu = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
+        wu_pad.append(
+            jnp.pad(wu, ((0, dmax - wu.shape[0]), (0, 0)))
+        )
+    WU = jnp.stack(wu_pad)
+    bvec = jnp.stack(
+        [l.b.astype(jnp.float32).reshape(1, 4 * n) for l in params.layers]
+    )
     Why = params.Why.astype(cfg.cdtype)
     by = params.by.astype(jnp.float32).reshape(1, m)
     seed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
     ids, hT, cT = call(
         seed.reshape(1), WU, bvec, Why, by,
         first.reshape(b, 1).astype(jnp.int32),
-        h0[0].astype(jnp.float32), c0[0].astype(jnp.float32),
+        h0.astype(jnp.float32), c0.astype(jnp.float32),
     )
     # one transpose + unpad outside the kernel
-    return ids.T[:length], (hT[None].astype(cfg.pdtype), cT[None].astype(cfg.pdtype))
+    return ids.T[:length], (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))

@@ -87,3 +87,23 @@ def test_auto_backend_on_cpu_uses_xla():
         params, cfg, key, first, h0, c0, 8, temperature=0.0, backend="xla"
     )
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_xla))
+
+
+def test_stacked_greedy_matches_xla():
+    """Multi-layer fused generation: greedy decoding bitwise-equal to the
+    XLA sampler on a 2-layer stack (padded per-layer [W;U] stacks)."""
+    cfg = ModelConfig(vocab=256, hidden=128, num_layers=2, seed=4)
+    params = model.init_params(cfg)
+    key = jax.random.PRNGKey(4)
+    b = 8
+    first = jnp.full((b,), 65, jnp.int32)
+    h0, c0 = model.init_state(cfg, b)
+    ids_xla, (h_x, c_x) = sampler_mod.sample_ids(
+        params, cfg, key, first, h0, c0, 48, temperature=0.0, backend="xla"
+    )
+    ids_pal, (h_p, c_p) = sampler_mod.sample_ids(
+        params, cfg, key, first, h0, c0, 48, temperature=0.0, backend="pallas"
+    )
+    np.testing.assert_array_equal(np.asarray(ids_pal), np.asarray(ids_xla))
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_x), rtol=1e-5, atol=1e-6)
