@@ -61,6 +61,10 @@ def _add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--no-carry", action="store_true",
                    help="reset h/c each window instead of carrying")
     p.add_argument("--reset-std", type=float, default=0.0)
+    p.add_argument("--stream-data", action="store_true",
+                   help="keep the corpus on the host (mmap) and feed windows "
+                        "per superstep, double-buffered — for corpora that "
+                        "rival HBM (data/streaming.py)")
 
 
 def _add_train_args(p: argparse.ArgumentParser):
@@ -169,7 +173,17 @@ def _make_trainer(args):
     from .train.trainer import Trainer
 
     mcfg, dcfg, tcfg = _configs(args)
-    train, test = corpus_mod.load_dataset(dcfg)
+    streaming = bool(getattr(args, "stream_data", False))
+    if streaming:
+        import numpy as np
+
+        from .data import streaming as streaming_mod
+
+        data = streaming_mod.load_corpus_mmap(dcfg.path)
+        train, test = corpus_mod.split(data, dcfg.train_percent)
+        test = np.asarray(test)   # the held-out tail is small; materialize
+    else:
+        train, test = corpus_mod.load_dataset(dcfg)
     mesh = None
     parallel = "dp"
     n_dp = getattr(args, "dp", None)
@@ -207,6 +221,7 @@ def _make_trainer(args):
         results_path=getattr(args, "results", None),
         mesh=mesh,
         parallel=parallel,
+        streaming=streaming,
     )
     if getattr(args, "resume", None):
         trainer.restore(args.resume)

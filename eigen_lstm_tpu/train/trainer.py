@@ -49,24 +49,25 @@ class TrainState:
     key: jax.Array              # PRNG key (stream resets)
 
 
-def make_superstep(
+def _make_inner(
     mcfg: ModelConfig,
     dcfg: DataConfig,
     tcfg: TrainConfig,
-    corpus: jax.Array,
-    cell_fn=None,
-    donate: bool = True,
-) -> Callable[[TrainState], Tuple[TrainState, Dict[str, jax.Array]]]:
-    """Build the jitted K-step training superstep over a device-resident
-    corpus. Returns ``superstep(state) -> (state, metrics)`` where metrics
-    are means over the K inner steps."""
+    length: int,
+    cell_fn,
+    window_fn,
+):
+    """One training step as a ``lax.scan`` body. ``window_fn(state, xs)``
+    supplies the (x, t) int32 windows — gathered in-jit from a resident
+    corpus, or taken from a host-streamed per-step batch (data/streaming.py).
+    Everything else (BPTT, non-finite guard, cursor advance, stream carry,
+    Adagrad) is shared so the two data paths are trajectory-identical."""
 
-    length = int(corpus.shape[0])
     stride = dcfg.effective_stride
     seq = dcfg.seq
 
-    def inner(state: TrainState, _) -> Tuple[TrainState, Tuple[jax.Array, jax.Array]]:
-        x, t = corpus_mod.make_windows(corpus, state.positions, seq)
+    def inner(state: TrainState, xs) -> Tuple[TrainState, Tuple[jax.Array, jax.Array]]:
+        x, t = window_fn(state, xs)
         (loss, ((h2, c2), bits)), grads = jax.value_and_grad(
             model.loss_fn, has_aux=True
         )(state.params, x, t, state.h, state.c, mcfg, cell_fn)
@@ -108,16 +109,68 @@ def make_superstep(
         )
         return new_state, (bits, gnorm)
 
+    return inner
+
+
+def _scan_metrics(bits, gnorms):
+    return {
+        "bits_mean": jnp.mean(bits),
+        "bits_last": bits[-1],
+        "gnorm_mean": jnp.mean(gnorms),
+    }
+
+
+def make_superstep(
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    tcfg: TrainConfig,
+    corpus: jax.Array,
+    cell_fn=None,
+    donate: bool = True,
+) -> Callable[[TrainState], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jitted K-step training superstep over a device-resident
+    corpus. Returns ``superstep(state) -> (state, metrics)`` where metrics
+    are means over the K inner steps."""
+
+    length = int(corpus.shape[0])
+
+    def window_fn(state, _):
+        return corpus_mod.make_windows(corpus, state.positions, dcfg.seq)
+
+    inner = _make_inner(mcfg, dcfg, tcfg, length, cell_fn, window_fn)
+
     def superstep(state: TrainState):
         state, (bits, gnorms) = jax.lax.scan(
             inner, state, None, length=tcfg.superstep
         )
-        metrics = {
-            "bits_mean": jnp.mean(bits),
-            "bits_last": bits[-1],
-            "gnorm_mean": jnp.mean(gnorms),
-        }
-        return state, metrics
+        return state, _scan_metrics(bits, gnorms)
+
+    return jax.jit(superstep, donate_argnums=(0,) if donate else ())
+
+
+def make_streamed_superstep(
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    tcfg: TrainConfig,
+    length: int,
+    cell_fn=None,
+    donate: bool = True,
+):
+    """Superstep variant fed by host-streamed windows (data/streaming.py):
+    ``superstep(state, windows)`` where ``windows`` is the feeder's
+    (K, S+1, B) uint8 batch. Cursors still advance in-jit (same pure
+    function over the same ``length``), keeping checkpoints interchangeable
+    with the resident path."""
+
+    def window_fn(state, win):
+        w = win.astype(jnp.int32)
+        return w[:-1], w[1:]
+
+    inner = _make_inner(mcfg, dcfg, tcfg, length, cell_fn, window_fn)
+
+    def superstep(state: TrainState, windows: jax.Array):
+        state, (bits, gnorms) = jax.lax.scan(inner, state, windows)
+        return state, _scan_metrics(bits, gnorms)
 
     return jax.jit(superstep, donate_argnums=(0,) if donate else ())
 
@@ -138,6 +191,7 @@ class Trainer:
         mesh=None,
         mesh_axis: str = "data",
         parallel: str = "dp",
+        streaming: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh``. ``parallel="dp"`` trains
         data-parallel over ``mesh_axis`` (shard_map + psum, parallel/dp.py;
@@ -146,13 +200,24 @@ class Trainer:
         sees the full batch, weights are sharded); ``parallel="dp_tp"``
         trains on a 2-D ("data", "model") mesh (parallel/dp_tp.py);
         ``parallel="pp"`` pipelines layer blocks across a stage mesh
-        (parallel/pp.py — num_layers must divide by the mesh size)."""
+        (parallel/pp.py — num_layers must divide by the mesh size).
+
+        ``streaming=True`` keeps the corpus on the host (pass a memmap via
+        ``streaming.load_corpus_mmap`` for corpora that rival HBM) and feeds
+        windows per superstep, double-buffered (data/streaming.py)."""
         self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
         self.train_np = train_data
         self.test_np = test_data
         self.cell_fn = cell_fn
         self.crosscheck_failures = 0
-        self.corpus = jnp.asarray(train_data)
+        self.feeder = None
+        self._next_windows = None
+        if streaming:
+            if mesh is not None:
+                raise ValueError("streaming is single-device for now")
+            self.corpus = None
+        else:
+            self.corpus = jnp.asarray(train_data)
         self.mesh = mesh
         self.parallel = parallel if mesh is not None else None
         self._to_canonical = lambda p: p
@@ -236,12 +301,24 @@ class Trainer:
             )
         elif mesh is not None:
             raise ValueError(f"unknown parallel mode {parallel!r}")
+        elif streaming:
+            from ..data import streaming as streaming_mod
+
+            self._shard = lambda s: s
+            self.superstep = make_streamed_superstep(
+                mcfg, dcfg, tcfg, len(train_data), cell_fn
+            )
+            self.feeder = streaming_mod.WindowFeeder(
+                train_data, dcfg, tcfg.superstep
+            )
         else:
             self._shard = lambda s: s
             self.superstep = make_superstep(mcfg, dcfg, tcfg, self.corpus, cell_fn)
         self.meter = metrics_mod.ThroughputMeter(mcfg)
         self.table = metrics_mod.ResultsTable(results_path)
         self.state = self._shard(self._init_state())
+        if self.feeder is not None:
+            self.feeder.set_positions(np.asarray(self.state.positions))
         self.last_metrics: Dict[str, float] = {}
 
     def _init_state(self) -> TrainState:
@@ -273,6 +350,30 @@ class Trainer:
         # each inner step trains B streams × stride new characters
         return self.dcfg.batch * self.dcfg.effective_stride * self.tcfg.superstep
 
+    def _dispatch_superstep(self):
+        """One superstep dispatch. In streaming mode the *next* batch is
+        built and device_put right after the (async) dispatch, so the host
+        window assembly and H2D transfer overlap the device compute."""
+        if self.feeder is None:
+            return self.superstep(self.state)
+        if self._next_windows is None:
+            self._next_windows = jax.device_put(self.feeder.next_batch())
+        out = self.superstep(self.state, self._next_windows)
+        self._next_windows = jax.device_put(self.feeder.next_batch())
+        return out
+
+    def _current_windows(self):
+        """(x, t) at the current cursors — in-jit gather (resident) or host
+        build (streaming); used by crosscheck/gradcheck."""
+        if self.corpus is not None:
+            return corpus_mod.make_windows(
+                self.corpus, self.state.positions, self.dcfg.seq
+            )
+        win = jnp.asarray(
+            self.feeder.build(np.asarray(self.state.positions)), jnp.int32
+        )
+        return win[:-1], win[1:]
+
     def run(
         self,
         steps: Optional[int] = None,
@@ -286,7 +387,7 @@ class Trainer:
         eval_timer = metrics_mod.Timer()
         chars_done = 0
         for k in range(n_super):
-            self.state, metrics = self.superstep(self.state)
+            self.state, metrics = self._dispatch_superstep()
             chars_done += self.chars_per_superstep()
             if (k + 1) % max(1, self.tcfg.log_every // self.tcfg.superstep) == 0 or k == n_super - 1:
                 bits = float(metrics["bits_mean"])
@@ -340,9 +441,7 @@ class Trainer:
         continues, ``cu_matrix.cu:16-18``)."""
         if tol is None:
             tol = 2e-2 if self.mcfg.compute_dtype == "bfloat16" else 1e-3
-        x, t = corpus_mod.make_windows(
-            self.corpus, self.state.positions, self.dcfg.seq
-        )
+        x, t = self._current_windows()
         params = self.canonical_params()
         h, c = self.state.h, self.state.c
 
@@ -459,9 +558,7 @@ class Trainer:
         Meaningful in float64 configs; in fp32 it is a smoke check only."""
         from ..utils import gradcheck as gc
 
-        x, t = corpus_mod.make_windows(
-            self.corpus, self.state.positions, self.dcfg.seq
-        )
+        x, t = self._current_windows()
         h, c = self.state.h, self.state.c
 
         cparams = self.canonical_params()
@@ -513,3 +610,7 @@ class Trainer:
                 extras.get("rng_key", self.state.key),
             )
         )
+        if self.feeder is not None:
+            # re-sync host cursors and drop the stale prefetched batch
+            self.feeder.set_positions(np.asarray(self.state.positions))
+            self._next_windows = None

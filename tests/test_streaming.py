@@ -1,0 +1,132 @@
+"""Host-streaming data path (data/streaming.py).
+
+The contract under test: a streamed run is *trajectory-identical* to the
+resident run from the same seed — same windows, same cursor wraps, same
+stream resets, same parameters — and checkpoints are interchangeable
+between the two modes. This is the rebuild's discipline of validating a new
+data path against the existing oracle, as the reference validates CUDA
+against Eigen in lockstep (``lstm_eigen_CUDA/lstm.cu:425-496``).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from eigen_lstm_tpu import DataConfig, ModelConfig, TrainConfig
+from eigen_lstm_tpu.data import corpus as corpus_mod
+from eigen_lstm_tpu.data import streaming as streaming_mod
+from eigen_lstm_tpu.train.trainer import Trainer
+
+MCFG = ModelConfig(hidden=32, num_layers=1, loss_mode="all", seed=3)
+# corpus small enough that cursors wrap (and streams reset) mid-test
+DCFG = DataConfig(path="", train_percent=1.0, batch=4, seq=8, reset_std=0.1)
+TCFG = TrainConfig(lr=0.1, superstep=3, steps=12, eval_every_s=1e9, seed=7)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.RandomState(0)
+    return rng.randint(0, 256, size=97, dtype=np.uint8)
+
+
+def _params_close(p1, p2, tol=1e-6):
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=tol, atol=tol,
+        )
+
+
+def test_advance_host_matches_jit():
+    rng = np.random.RandomState(1)
+    for stride in (1, 4, 8):
+        for length in (30, 97, 1000):
+            seq = 8
+            pos = rng.randint(0, max(length - seq - 1, 1), size=16).astype(np.int32)
+            want_pos, want_wrap = corpus_mod.advance_positions(
+                pos, stride, length, seq
+            )
+            got_pos, got_wrap = streaming_mod.advance_host(pos, stride, length, seq)
+            np.testing.assert_array_equal(np.asarray(want_pos), got_pos)
+            np.testing.assert_array_equal(np.asarray(want_wrap), got_wrap)
+
+
+def test_feeder_windows_match_resident(data):
+    """The feeder's (K, S+1, B) batches equal the in-jit gathers at the same
+    cursor sequence."""
+    import jax.numpy as jnp
+
+    corpus = jnp.asarray(data)
+    positions = corpus_mod.init_positions(
+        jax.random.PRNGKey(0), DCFG.batch, len(data), DCFG.seq
+    )
+    feeder = streaming_mod.WindowFeeder(
+        data, DCFG, superstep=4, positions=np.asarray(positions)
+    )
+    batch = feeder.next_batch()
+    pos = positions
+    for i in range(4):
+        x, t = corpus_mod.make_windows(corpus, pos, DCFG.seq)
+        np.testing.assert_array_equal(np.asarray(x), batch[i][:-1].astype(np.int32))
+        np.testing.assert_array_equal(np.asarray(t), batch[i][1:].astype(np.int32))
+        pos, _ = corpus_mod.advance_positions(
+            pos, DCFG.effective_stride, len(data), DCFG.seq
+        )
+    np.testing.assert_array_equal(np.asarray(pos), feeder.positions)
+
+
+def test_streamed_trajectory_identity(data):
+    tr_res = Trainer(MCFG, DCFG, TCFG, data, None)
+    tr_str = Trainer(MCFG, DCFG, TCFG, data, None, streaming=True)
+    np.testing.assert_array_equal(
+        np.asarray(tr_res.state.positions), np.asarray(tr_str.state.positions)
+    )
+    tr_res.run(steps=TCFG.steps, quiet=True)
+    tr_str.run(steps=TCFG.steps, quiet=True)
+    assert tr_res.step == tr_str.step
+    np.testing.assert_array_equal(
+        np.asarray(tr_res.state.positions), np.asarray(tr_str.state.positions)
+    )
+    _params_close(tr_res.state.params, tr_str.state.params)
+    _params_close(tr_res.state.h, tr_str.state.h)
+    _params_close(tr_res.state.c, tr_str.state.c)
+
+
+def test_checkpoint_interchange(data, tmp_path):
+    """Resident checkpoint resumes a streamed trainer (and trains on
+    identically) — the cursor state is mode-independent."""
+    path = str(tmp_path / "ckpt.npz")
+    tr_res = Trainer(MCFG, DCFG, TCFG, data, None)
+    tr_res.run(steps=6, quiet=True)
+    tr_res.save(path)
+
+    tr_str = Trainer(
+        MCFG, DCFG, dataclasses.replace(TCFG, seed=99), data, None, streaming=True
+    )
+    tr_str.restore(path)
+    assert tr_str.step == tr_res.step
+    np.testing.assert_array_equal(
+        np.asarray(tr_str.state.positions), np.asarray(tr_res.state.positions)
+    )
+    tr_res.run(steps=6, quiet=True)
+    tr_str.run(steps=6, quiet=True)
+    _params_close(tr_res.state.params, tr_str.state.params)
+    np.testing.assert_array_equal(
+        np.asarray(tr_res.state.positions), np.asarray(tr_str.state.positions)
+    )
+
+
+def test_memmap_corpus(data, tmp_path):
+    """load_corpus_mmap serves the same bytes without loading the file."""
+    p = tmp_path / "corpus.bin"
+    p.write_bytes(data.tobytes())
+    mm = streaming_mod.load_corpus_mmap(str(p))
+    np.testing.assert_array_equal(np.asarray(mm), data)
+    feeder = streaming_mod.WindowFeeder(
+        mm, DCFG, superstep=2, positions=np.zeros(DCFG.batch, np.int32)
+    )
+    batch = feeder.next_batch()
+    assert batch.shape == (2, DCFG.seq + 1, DCFG.batch)
+    assert batch.dtype == np.uint8
