@@ -38,6 +38,10 @@ def main():
         # train_bpc reflects real learning during the benchmark window
         "--lr", "0.02",
         "--warmup", "20",
+        # host-streamed windows: the in-jit (S+1, B) byte gather costs ~21%
+        # of the step (XLA lowers it per-element); the feeder builds windows
+        # on the host and ships them double-buffered (data/streaming.py)
+        "--stream-data",
     ]
     args = build_parser().parse_args(argv)
     result = run_benchmark(args)

@@ -36,18 +36,21 @@ def run_benchmark(args) -> Dict[str, Any]:
     mcfg, dcfg, tcfg = _configs(args)
     train, _ = corpus_mod.load_dataset(dcfg)
     cell_fn = select_cell_fn(args.backend, mcfg, dcfg.batch)
-    trainer = Trainer(mcfg, dcfg, tcfg, train, None, cell_fn=cell_fn)
+    streaming = bool(getattr(args, "stream_data", False))
+    trainer = Trainer(
+        mcfg, dcfg, tcfg, train, None, cell_fn=cell_fn, streaming=streaming
+    )
 
     warmup = max(1, args.warmup_steps // tcfg.superstep)
     steps = max(1, args.bench_steps // tcfg.superstep)
 
     for _ in range(warmup):
-        trainer.state, metrics = trainer.superstep(trainer.state)
+        trainer.state, metrics = trainer._dispatch_superstep()
     jax.block_until_ready(metrics["bits_mean"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        trainer.state, metrics = trainer.superstep(trainer.state)
+        trainer.state, metrics = trainer._dispatch_superstep()
     jax.block_until_ready(metrics["bits_mean"])
     dt = time.perf_counter() - t0
 

@@ -61,10 +61,16 @@ def _add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--no-carry", action="store_true",
                    help="reset h/c each window instead of carrying")
     p.add_argument("--reset-std", type=float, default=0.0)
-    p.add_argument("--stream-data", action="store_true",
+    p.add_argument("--stream-data", dest="stream_data", action="store_true",
+                   default=None,
                    help="keep the corpus on the host (mmap) and feed windows "
-                        "per superstep, double-buffered — for corpora that "
-                        "rival HBM (data/streaming.py)")
+                        "per superstep, double-buffered (data/streaming.py). "
+                        "Default for single-device runs: the in-jit byte "
+                        "gather costs ~21%% of a step (docs/PERFORMANCE.md) "
+                        "and it scales to corpora that rival HBM")
+    p.add_argument("--resident-data", dest="stream_data", action="store_false",
+                   help="force the device-resident corpus with in-jit window "
+                        "gathers (always used for --dp/--tp/--pp meshes)")
 
 
 def _add_train_args(p: argparse.ArgumentParser):
@@ -173,7 +179,15 @@ def _make_trainer(args):
     from .train.trainer import Trainer
 
     mcfg, dcfg, tcfg = _configs(args)
-    streaming = bool(getattr(args, "stream_data", False))
+    uses_mesh = bool(
+        getattr(args, "dp", None) or getattr(args, "tp", None)
+        or getattr(args, "pp", None)
+    )
+    streaming = getattr(args, "stream_data", None)
+    if streaming is None:
+        streaming = not uses_mesh     # the single-device fast path
+    elif streaming and uses_mesh:
+        raise SystemExit("--stream-data is single-device; drop --dp/--tp/--pp")
     if streaming:
         import numpy as np
 

@@ -41,14 +41,16 @@ def measure(tag, mcfg_kw, dcfg_kw, steps=400, superstep=10, eval_chars=50000,
                        eval_every_s=1e9, eval_chars=eval_chars)
     train, test = corpus_mod.load_dataset(dcfg)
     cell_fn = select_cell_fn("auto", mcfg, dcfg.batch)
-    tr = Trainer(mcfg, dcfg, tcfg, train, test, cell_fn=cell_fn)
+    # host-streamed windows (the production fast path: the in-jit byte
+    # gather costs ~21% of a step, docs/PERFORMANCE.md round 2c)
+    tr = Trainer(mcfg, dcfg, tcfg, train, test, cell_fn=cell_fn, streaming=True)
     # compile + warm
-    tr.state, m = tr.superstep(tr.state)
+    tr.state, m = tr._dispatch_superstep()
     jax.block_until_ready(m["bits_mean"])
     n_super = max(1, steps // superstep)
     t0 = time.perf_counter()
     for _ in range(n_super):
-        tr.state, m = tr.superstep(tr.state)
+        tr.state, m = tr._dispatch_superstep()
     jax.block_until_ready(m["bits_mean"])
     dt = time.perf_counter() - t0
     chars = n_super * tr.chars_per_superstep()
