@@ -78,6 +78,16 @@ def select_cell_fn(backend: str, mcfg: ModelConfig, batch: int) -> Optional[obje
         if pc.embed_supported(mcfg, batch):
             # expose the fused-embedding layer-0 kernel to models.forward
             cell_fn.embed_layer0 = pc.pallas_embed_layer0
+        elif not resident_supported(mcfg, batch):
+            from .pallas_cell_tiled import (
+                pallas_tiled_embed_layer0,
+                tiled_embed_supported,
+            )
+
+            if tiled_embed_supported(mcfg, batch):
+                # fused embedding for the tiled (U > VMEM) regime: kills the
+                # (S·B, 4N) xw stream where the step is HBM-bound already
+                cell_fn.embed_layer0 = pallas_tiled_embed_layer0
         from . import pallas_head
 
         # fused softmax-CE head (gated per-shape at trace time in loss_fn)

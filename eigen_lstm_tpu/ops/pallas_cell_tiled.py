@@ -64,14 +64,14 @@ def _fwd_tiled_kernel(n, k_tiles, wt, variant, cdtype,
         # cache h_{t-1} in the compute dtype once per step
         h_c[:] = h_s[:].astype(cdtype)
 
-    pre = xw_ref[0].astype(jnp.float32) + jnp.dot(
-        h_c[:], U_ref[:].astype(cdtype), preferred_element_type=jnp.float32,
+    pre = xw_ref[0, 0].astype(jnp.float32) + jnp.dot(
+        h_c[:], U_ref[0], preferred_element_type=jnp.float32,
         precision=_prec(cdtype),
     )
     is_u = k >= 3 * cpg               # chunk lies in the candidate gate
     act = jnp.where(is_u, jnp.tanh(pre), jax.nn.sigmoid(pre))
     g_s[k] = act
-    gseq_ref[0] = act.astype(gseq_ref.dtype)
+    gseq_ref[0, 0] = act.astype(gseq_ref.dtype)
 
     @pl.when(k == k_tiles - 1)
     def _():
@@ -113,15 +113,15 @@ def _bwd_tiled_kernel(n, s, k_tiles, wt, variant, cdtype,
         # its dh contribution and flush its chunk to HBM
         dg_k = dg_s[k]
         dh_acc[:] += jax.lax.dot_general(
-            dg_k.astype(cdtype), U_ref[:].astype(cdtype),
+            dg_k.astype(cdtype), U_ref[0],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_prec(cdtype),
         )
-        dgseq_ref[0] = dg_k.astype(dgseq_ref.dtype)
+        dgseq_ref[0, 0] = dg_k.astype(dgseq_ref.dtype)
 
     @pl.when(j < s)
     def _():
-        g_s[k] = gseq_ref[0].astype(g_s.dtype)
+        g_s[k] = gseq_ref[0, 0].astype(g_s.dtype)
 
     @pl.when((k == k_tiles - 1) & (j < s))
     def _():
@@ -195,25 +195,37 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
     k_tiles = 4 * n // wt
     assert n % wt == 0, (n, wt)
 
+    def _tile_u(U):
+        # (n, 4n) -> (k_tiles, n, wt): one XLA transpose per step (~2r+w of
+        # 2·n·4n bytes, trivial next to streaming U S times)
+        return U.reshape(n, k_tiles, wt).transpose(1, 0, 2)
+
     def fwd_call(U, xw, h0, c0):
+        # U pre-tiled (k_tiles, n, wt) and xw/gseq in (.., k_tiles, b, wt)
+        # layouts so every tile DMA is one contiguous transfer — an (n, wt)
+        # column slice of the row-major (n, 4n) layout is n strided wt-wide
+        # reads, which measures ~15% slower end-to-end at N=2048
+        # (docs/PERFORMANCE.md round 2c)
+        U = _tile_u(U)
+        xw = xw.reshape(s, b, k_tiles, wt).transpose(0, 2, 1, 3)
         return pl.pallas_call(
             functools.partial(_fwd_tiled_kernel, n, k_tiles, wt, variant, cdtype),
             grid=(s, k_tiles),
             in_specs=[
-                pl.BlockSpec((n, wt), lambda t, k: (0, k), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b, wt), lambda t, k: (t, 0, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, wt), lambda t, k: (k, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, b, wt), lambda t, k: (t, k, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((1, b, n), lambda t, k: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, b, n), lambda t, k: (t, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b, wt), lambda t, k: (t, 0, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, b, wt), lambda t, k: (t, k, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((s, b, n), rdtype),
                 jax.ShapeDtypeStruct((s, b, n), rdtype),
-                jax.ShapeDtypeStruct((s, b, 4 * n), rdtype),
+                jax.ShapeDtypeStruct((s, k_tiles, b, wt), rdtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),           # h carry
@@ -233,12 +245,13 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
         )(U, xw, h0, c0)
 
     def bwd_call(U, g_seq, c_seq, c0, dh_seq, dhT, dcT):
+        U = _tile_u(U)
         smax = s - 1
 
         def dg_index(j, k):
             # row j flushes dg of timestep s-j (row 0 writes nothing; its
             # slot s-1 is rewritten by row 1 — consecutive revisit)
-            return (jnp.clip(s - j, 0, smax), 0, k)
+            return (jnp.clip(s - j, 0, smax), k, 0, 0)
 
         return pl.pallas_call(
             functools.partial(
@@ -246,8 +259,8 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
             ),
             grid=(s + 1, k_tiles),
             in_specs=[
-                pl.BlockSpec((n, wt), lambda j, k: (0, k), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b, wt), lambda j, k: (jnp.clip(s - 1 - j, 0, smax), 0, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, wt), lambda j, k: (k, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, b, wt), lambda j, k: (jnp.clip(s - 1 - j, 0, smax), k, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, b, n), lambda j, k: (jnp.clip(s - 1 - j, 0, smax), 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, b, n), lambda j, k: (jnp.clip(s - 2 - j, 0, smax), 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda j, k: (0, 0), memory_space=pltpu.VMEM),
@@ -256,11 +269,11 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
                 pl.BlockSpec((b, n), lambda j, k: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, b, wt), dg_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, b, wt), dg_index, memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda j, k: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((s, b, 4 * n), xdtype),
+                jax.ShapeDtypeStruct((s, k_tiles, b, wt), xdtype),
                 jax.ShapeDtypeStruct((b, n), f32),
             ],
             scratch_shapes=[
@@ -293,34 +306,269 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
     def tiled_seq_bwd(res, cot):
         U, h_seq, c_seq, g_seq, h0, c0 = res
         dh_seq, (dhT, dcT) = cot
-        dg_seq, dc0 = bwd_call(
+        # dg arrives in the kernel's tiled (S, K, B, wt) layout; all its
+        # consumers contract with dot_generals that keep that layout (no
+        # 4N-wide transpose of the largest gradient stream)
+        dg_t = bwd_call(
             U, g_seq, c_seq, c0.astype(jnp.float32),
             dh_seq.astype(xdtype),
             dhT.astype(jnp.float32), dcT.astype(jnp.float32),
         )
+        dg_seq, dc0 = dg_t
         # dh0 = dg_0 @ U^T — the one step the pipelined kernel doesn't chain
         dh0 = jax.lax.dot_general(
-            dg_seq[0].astype(cdtype), U.astype(cdtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dg_seq[0].astype(cdtype), _tile_u(U.astype(cdtype)),
+            dimension_numbers=(((0, 2), (0, 2)), ((), ())),
             preferred_element_type=f32, precision=_prec(cdtype),
         )
-        # dU = sum_t h_{t-1}^T dg_t — one large MXU GEMM over all steps
+        # dU[n, k, wt] = sum_{t,b} h_prev[t,b,n] dg[t,k,b,wt] — per-tile
+        # MXU GEMMs over all steps, reshaped back to the canonical (N, 4N)
         h_prev = jnp.concatenate([h0[None].astype(h_seq.dtype), h_seq[:-1]], axis=0)
         dU = jax.lax.dot_general(
-            h_prev.reshape(s * b, n).astype(cdtype),
-            dg_seq.reshape(s * b, 4 * n).astype(cdtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            h_prev.astype(cdtype),
+            dg_seq.astype(cdtype),
+            dimension_numbers=(((0, 1), (0, 2)), ((), ())),
             preferred_element_type=f32, precision=_prec(cdtype),
-        )
+        ).reshape(n, 4 * n)
+        # d(xw) in the caller's (S, B, 4N) layout
+        dxw = dg_seq.transpose(0, 2, 1, 3).reshape(s, b, 4 * n)
         return (
             dU.astype(U.dtype),
-            dg_seq,                       # d(xw)
+            dxw,
             dh0.astype(h0.dtype),
             dc0.astype(c0.dtype),
         )
 
     tiled_seq.defvjp(tiled_seq_fwd, tiled_seq_bwd)
+    tiled_seq.bwd_call = bwd_call   # reused by the tiled-embed variant
     return tiled_seq
+
+
+# ---------------------------------------------------------------------------
+# Tiled-embed variant (layer 0): the per-step input contribution W·x is
+# computed INSIDE the kernel — onehot(ids) concatenated with h_{t-1} against
+# tiles of the stacked [W; U] — eliminating the precomputed xw stream
+# ((S·B, 4N), the largest HBM stream of the tiled regime) exactly as the
+# resident fused-embed kernel does for models whose U fits VMEM
+# (pallas_cell.py). The extra B·M·wt MXU FLOPs per tile ride under the
+# U-tile DMA (the regime is HBM-bound on U, module docstring).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_tiled_embed_kernel(n, m, k_tiles, wt, variant, cdtype,
+                            WU_ref, b_ref, ids_ref, h0_ref, c0_ref,
+                            hseq_ref, cseq_ref, gseq_ref,
+                            h_s, c_s, xh_s, g_s):
+    t = pl.program_id(0)
+    k = pl.program_id(1)
+    cpg = n // wt
+
+    @pl.when((t == 0) & (k == 0))
+    def _():
+        h_s[:] = h0_ref[:].astype(jnp.float32)
+        c_s[:] = c0_ref[:].astype(jnp.float32)
+
+    @pl.when(k == 0)
+    def _():
+        # build the [onehot | h_{t-1}] row block once per step
+        b_sz = h_s.shape[0]
+        ids_t = ids_ref[t]                                 # (B,) int32
+        cols = jax.lax.broadcasted_iota(jnp.int32, (b_sz, m), 1)
+        xh_s[:, :m] = (cols == ids_t[:, None]).astype(cdtype)
+        xh_s[:, m:] = h_s[:].astype(cdtype)
+
+    pre = jnp.dot(
+        xh_s[:], WU_ref[0], preferred_element_type=jnp.float32,
+        precision=_prec(cdtype),
+    ) + b_ref[0]
+    is_u = k >= 3 * cpg
+    act = jnp.where(is_u, jnp.tanh(pre), jax.nn.sigmoid(pre))
+    g_s[k] = act
+    gseq_ref[0, 0] = act.astype(gseq_ref.dtype)
+
+    @pl.when(k == k_tiles - 1)
+    def _():
+        for kk in range(cpg):
+            sl = slice(kk * wt, (kk + 1) * wt)
+            h, c_carry = _cell_fwd(
+                g_s[kk], g_s[cpg + kk], g_s[2 * cpg + kk], g_s[3 * cpg + kk],
+                c_s[:, sl], variant,
+            )
+            h_s[:, sl] = h
+            c_s[:, sl] = c_carry
+            hseq_ref[0, :, sl] = h.astype(hseq_ref.dtype)
+            cseq_ref[0, :, sl] = c_carry.astype(cseq_ref.dtype)
+
+
+def pick_tile_width_embed(n: int, m: int, b: int, cdtype_name: str,
+                          rdtype_name: str) -> int:
+    """Tile width for the tiled-embed forward: like ``pick_tile_width`` but
+    the streamed tile is the stacked (M+N, wt) weight and an xh scratch
+    replaces the xw chunks. The backward is the shared tiled kernel, so its
+    budget gates too."""
+    cbytes = 2 if cdtype_name == "bfloat16" else 4
+    rbytes = 2 if rdtype_name == "bfloat16" else 4
+    for wt in (512, 256, 128):
+        if n % wt != 0:
+            continue
+        if pick_tile_width(n, b, cdtype_name, rdtype_name) < wt:
+            continue                    # bwd phase budget (shared kernel)
+        fwd = (
+            2 * (m + n) * wt * cbytes      # stacked WU tile, double-buffered
+            + b * (m + n) * cbytes         # xh scratch
+            + b * 4 * n * 4                # g_s scratch (f32)
+            + 2 * b * n * 4                # h_s, c_s
+            + 2 * 2 * b * n * rbytes       # hseq + cseq out blocks
+            + 2 * b * wt * rbytes          # gseq out chunks (x2 buf)
+            + 2 * b * n * 4                # h0, c0
+        )
+        if fwd <= VMEM_BUDGET:
+            return wt
+    return 0
+
+
+@functools.lru_cache(maxsize=64)
+def _make_tiled_embed_seq(s: int, b: int, n: int, m: int, wt: int,
+                          variant: str, cdtype_name: str, rdtype_name: str,
+                          interpret: bool):
+    """custom-VJP tiled layer-0 sequence op: (WU, b, ids, h0, c0) ->
+    (h_seq, (hT, cT)). WU is the stacked (M+N, 4N) weight at the compute
+    dtype; backward reuses the shared tiled reverse-time kernel with
+    U = WU[M:], and dW/dU/db are per-tile GEMMs over the kernel's tiled dg
+    layout (no transpose of the gradient stream)."""
+    cdtype = jnp.dtype(cdtype_name).type
+    rdtype = jnp.dtype(rdtype_name).type
+    f32 = jnp.float32
+    k_tiles = 4 * n // wt
+    base = _make_tiled_seq(s, b, n, wt, variant, cdtype_name, rdtype_name,
+                           interpret)
+
+    def fwd_call(WU, bvec, ids, h0, c0):
+        WU_t = WU.reshape(m + n, k_tiles, wt).transpose(1, 0, 2)
+        b_t = bvec.reshape(k_tiles, 1, wt)
+        return pl.pallas_call(
+            functools.partial(
+                _fwd_tiled_embed_kernel, n, m, k_tiles, wt, variant, cdtype
+            ),
+            grid=(s, k_tiles),
+            in_specs=[
+                pl.BlockSpec((1, m + n, wt), lambda t, k: (k, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, wt), lambda t, k: (k, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),     # ids (S, B)
+                pl.BlockSpec((b, n), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, b, n), lambda t, k: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, n), lambda t, k: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, b, wt), lambda t, k: (t, k, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((s, b, n), rdtype),
+                jax.ShapeDtypeStruct((s, b, n), rdtype),
+                jax.ShapeDtypeStruct((s, k_tiles, b, wt), rdtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b, n), f32),
+                pltpu.VMEM((b, n), f32),
+                pltpu.VMEM((b, m + n), cdtype),
+                pltpu.VMEM((k_tiles, b, wt), f32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * s * b * (m + n) * 4 * n,
+                bytes_accessed=(
+                    s * (m + n) * 4 * n * (2 if cdtype_name == "bfloat16" else 4)
+                    + s * b * 4 * n * 2 * (2 if rdtype_name == "bfloat16" else 4)
+                ),
+                transcendentals=2 * s * b * 4 * n,
+            ),
+            interpret=interpret,
+        )(WU_t, b_t, ids, h0, c0)
+
+    @jax.custom_vjp
+    def tiled_embed_seq(WU, bvec, ids, h0, c0):
+        h_seq, c_seq, _ = fwd_call(WU, bvec, ids, h0, c0)
+        return h_seq, (h_seq[s - 1], c_seq[s - 1])
+
+    def fwd(WU, bvec, ids, h0, c0):
+        h_seq, c_seq, g_seq = fwd_call(WU, bvec, ids, h0, c0)
+        out = (h_seq, (h_seq[s - 1], c_seq[s - 1]))
+        return out, (WU, h_seq, c_seq, g_seq, ids, h0, c0)
+
+    def bwd(res, cot):
+        WU, h_seq, c_seq, g_seq, ids, h0, c0 = res
+        dh_seq, (dhT, dcT) = cot
+        U = WU[m:]
+        xdtype = jnp.bfloat16 if cdtype_name == "bfloat16" else f32
+        dg_seq, dc0 = base.bwd_call(
+            U, g_seq, c_seq, c0.astype(f32),
+            dh_seq.astype(xdtype),
+            dhT.astype(f32), dcT.astype(f32),
+        )
+        # dh0 = dg_0 @ U^T over the tiled layout
+        U_t = U.reshape(n, k_tiles, wt).transpose(1, 0, 2).astype(cdtype)
+        dh0 = jax.lax.dot_general(
+            dg_seq[0].astype(cdtype), U_t,
+            dimension_numbers=(((0, 2), (0, 2)), ((), ())),
+            preferred_element_type=f32, precision=_prec(cdtype),
+        )
+        # dWU = [onehot | h_prev]^T dg as per-tile GEMMs over (S, B)
+        onehot = jax.nn.one_hot(ids, m, dtype=cdtype)          # (S, B, M)
+        h_prev = jnp.concatenate(
+            [h0[None].astype(h_seq.dtype), h_seq[:-1]], axis=0
+        )
+        dg_c = dg_seq.astype(cdtype)
+        dW = jax.lax.dot_general(
+            onehot, dg_c,
+            dimension_numbers=(((0, 1), (0, 2)), ((), ())),
+            preferred_element_type=f32, precision=_prec(cdtype),
+        ).reshape(m, 4 * n)
+        dU = jax.lax.dot_general(
+            h_prev.astype(cdtype), dg_c,
+            dimension_numbers=(((0, 1), (0, 2)), ((), ())),
+            preferred_element_type=f32, precision=_prec(cdtype),
+        ).reshape(n, 4 * n)
+        dWU = jnp.concatenate([dW, dU], axis=0).astype(WU.dtype)
+        db = jnp.sum(dg_seq.astype(f32), axis=(0, 2)).reshape(1, 4 * n)
+        return (dWU, db, None, dh0.astype(h0.dtype), dc0.astype(c0.dtype))
+
+    tiled_embed_seq.defvjp(fwd, bwd)
+    return tiled_embed_seq
+
+
+def tiled_embed_supported(cfg: ModelConfig, batch: int) -> bool:
+    n, m = cfg.hidden, cfg.vocab
+    if n % 128 != 0 or m % 128 != 0 or batch % 8 != 0:
+        return False
+    rdtype = "float32" if cfg.residual_dtype == "float32" else "bfloat16"
+    return pick_tile_width_embed(
+        n, m, batch, jnp.dtype(cfg.cdtype).name, rdtype
+    ) > 0
+
+
+def pallas_tiled_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, wt=None):
+    """Layer-0 recurrence with the embedding fused into the tiled kernel.
+    Same contract as ``pallas_cell.pallas_embed_layer0``."""
+    s, b = ids.shape
+    n, m = cfg.hidden, cfg.vocab
+    rdtype_name = "float32" if cfg.residual_dtype == "float32" else "bfloat16"
+    if wt is None:
+        wt = pick_tile_width_embed(
+            n, m, b, jnp.dtype(cfg.cdtype).name, rdtype_name
+        )
+    if not wt:
+        raise ValueError(f"no embed tile width fits VMEM for N={n}, B={b}")
+    fn = _make_tiled_embed_seq(
+        s, b, n, m, wt, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
+        rdtype_name, _use_interpret(),
+    )
+    WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
+    bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)
+    h_seq, (hT, cT) = fn(
+        WU, bvec, ids.astype(jnp.int32),
+        h0.astype(jnp.float32), c0.astype(jnp.float32),
+    )
+    return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))
 
 
 def pallas_tiled_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, wt=None):

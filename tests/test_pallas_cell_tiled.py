@@ -128,3 +128,81 @@ def test_pick_tile_width():
     assert pick_tile_width(2048, 128, "bfloat16", "bfloat16") > 0
     assert pick_tile_width(1024, 128, "float32", "float32") > 0
     assert pick_tile_width(2048, 128, "float32", "float32") == 0
+
+
+# --------------------- tiled-embed layer-0 variant ---------------------
+
+from eigen_lstm_tpu.ops.pallas_cell_tiled import (  # noqa: E402
+    pallas_tiled_embed_layer0,
+    pick_tile_width_embed,
+)
+
+
+def embed_fn(wt=WT):
+    base = tiled_fn(wt)
+    base.embed_layer0 = functools.partial(pallas_tiled_embed_layer0, wt=wt)
+    return base
+
+
+@pytest.mark.parametrize("variant", ["reference", "standard"])
+def test_tiled_embed_forward_parity(variant):
+    cfg, params, ids, targets, h0, c0 = setup(variant)
+    h_ref, (hT_ref, cT_ref) = model.forward(params, ids, h0, c0, cfg)
+    h_e, (hT_e, cT_e) = model.forward(
+        params, ids, h0, c0, cfg, cell_fn=embed_fn()
+    )
+    np.testing.assert_allclose(np.asarray(h_e), np.asarray(h_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cT_e), np.asarray(cT_ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("loss_mode", ["last", "all"])
+def test_tiled_embed_gradient_parity(loss_mode):
+    cfg, params, ids, targets, h0, c0 = setup()
+    cfg = ModelConfig(**{**cfg.__dict__, "loss_mode": loss_mode})
+
+    def loss_ref(p, h0, c0):
+        return model.loss_fn(p, ids, targets, h0, c0, cfg)[0]
+
+    def loss_e(p, h0, c0):
+        return model.loss_fn(p, ids, targets, h0, c0, cfg, cell_fn=embed_fn())[0]
+
+    np.testing.assert_allclose(
+        float(loss_e(params, h0, c0)), float(loss_ref(params, h0, c0)), rtol=1e-5
+    )
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(params, h0, c0)
+    g_e = jax.grad(loss_e, argnums=(0, 1, 2))(params, h0, c0)
+    flat_ref = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_e = jax.tree_util.tree_leaves(g_e)
+    for (path, a), b in zip(flat_ref, flat_e):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6,
+            err_msg=f"tiled-embed grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_tiled_embed_stacked_layers():
+    """L0 uses the embed kernel, upper layers the xw tiled kernel."""
+    cfg, params, ids, targets, h0, c0 = setup()
+    cfg = ModelConfig(**{**cfg.__dict__, "num_layers": 2})
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(1)
+    h0 = jnp.asarray(rng.normal(size=(2, B, N)) * 0.1, jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(2, B, N)) * 0.1, jnp.float32)
+
+    def loss(p, fn):
+        return model.loss_fn(p, ids, targets, h0, c0, cfg, cell_fn=fn)[0]
+
+    l_ref = float(loss(params, None))
+    l_e = float(loss(params, embed_fn()))
+    np.testing.assert_allclose(l_e, l_ref, rtol=1e-5)
+    g_ref = jax.grad(lambda p: loss(p, None))(params)
+    g_e = jax.grad(lambda p: loss(p, embed_fn()))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_e)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_pick_tile_width_embed():
+    assert pick_tile_width_embed(2048, 256, 128, "bfloat16", "bfloat16") > 0
+    assert pick_tile_width_embed(2048, 256, 128, "float32", "float32") == 0
