@@ -183,11 +183,14 @@ def _make_trainer(args):
         getattr(args, "dp", None) or getattr(args, "tp", None)
         or getattr(args, "pp", None)
     )
+    dp_only_mesh = bool(getattr(args, "dp", None)) and not (
+        getattr(args, "tp", None) or getattr(args, "pp", None)
+    )
     streaming = getattr(args, "stream_data", None)
     if streaming is None:
         streaming = not uses_mesh     # the single-device fast path
-    elif streaming and uses_mesh:
-        raise SystemExit("--stream-data is single-device; drop --dp/--tp/--pp")
+    elif streaming and uses_mesh and not dp_only_mesh:
+        raise SystemExit("--stream-data supports single-device and --dp meshes")
     if streaming:
         import numpy as np
 

@@ -29,33 +29,31 @@ from ..train import optimizer as opt_mod
 from ..train.trainer import TrainState
 
 
-def make_dp_superstep(
+def _make_dp_superstep_impl(
     mcfg: ModelConfig,
     dcfg: DataConfig,
     tcfg: TrainConfig,
-    corpus: jax.Array,
+    length: int,
     mesh: Mesh,
-    axis: str = "data",
-    cell_fn=None,
-    donate: bool = True,
+    axis: str,
+    cell_fn,
+    donate: bool,
+    window_fn,
+    streamed: bool,
 ):
-    """Build the jitted data-parallel superstep.
-
-    Expects a ``TrainState`` whose per-stream leaves (h, c, positions) are
-    sharded over ``axis`` and whose params/m/step are replicated (see
-    ``shard_state``). Global batch ``dcfg.batch`` must divide the mesh size.
-    """
+    """Shared builder: ``window_fn(state, xs) -> (x, t)`` supplies each local
+    shard's windows — gathered in-jit from a replicated corpus, or taken from
+    a host-streamed batch sharded over the batch axis (data/streaming.py)."""
     ndev = mesh.devices.size
     if dcfg.batch % ndev != 0:
         raise ValueError(f"global batch {dcfg.batch} not divisible by {ndev} devices")
-    length = int(corpus.shape[0])
     stride = dcfg.effective_stride
     seq = dcfg.seq
 
-    def inner(state: TrainState, _):
+    def inner(state: TrainState, xs):
         # identical math to trainer.make_superstep's inner, on local streams,
         # plus one grad psum — the only ICI communication per step
-        x, t = corpus_mod.make_windows(corpus, state.positions, seq)
+        x, t = window_fn(state, xs)
         (loss, ((h2, c2), bits)), grads = jax.value_and_grad(
             model.loss_fn, has_aux=True
         )(state.params, x, t, state.h, state.c, mcfg, cell_fn)
@@ -92,13 +90,15 @@ def make_dp_superstep(
         )
         return TrainState(params, m, h2, c2, newpos, state.step + 1, key), (bits, gnorm)
 
-    def local_superstep(state: TrainState):
+    def local_superstep(state: TrainState, *xs):
         # per-device RNG for stream resets: fold the device index into the
         # replicated key; the carried key stays replicated (advanced once)
         local_key = jax.random.fold_in(state.key, jax.lax.axis_index(axis))
         next_global_key = jax.random.split(state.key)[0]
         state = dataclasses.replace(state, key=local_key)
-        state, (bits, gnorms) = jax.lax.scan(inner, state, None, length=tcfg.superstep)
+        state, (bits, gnorms) = jax.lax.scan(
+            inner, state, xs[0] if xs else None, length=tcfg.superstep
+        )
         state = dataclasses.replace(state, key=next_global_key)
         return state, {
             "bits_mean": jnp.mean(bits),
@@ -117,11 +117,14 @@ def make_dp_superstep(
         key=P(),
     )
     metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    in_specs = (state_specs,)
+    if streamed:
+        in_specs = (state_specs, P(None, None, axis))   # (K, S+1, B) over B
 
     mapped = jax.shard_map(
         local_superstep,
         mesh=mesh,
-        in_specs=(state_specs,),
+        in_specs=in_specs,
         out_specs=(state_specs, metrics_specs),
         # NOTE: with check_vma=True, the grads of replicated params inside
         # value_and_grad get an implicit cross-device reduction that double
@@ -131,6 +134,59 @@ def make_dp_superstep(
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def make_dp_superstep(
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    tcfg: TrainConfig,
+    corpus: jax.Array,
+    mesh: Mesh,
+    axis: str = "data",
+    cell_fn=None,
+    donate: bool = True,
+):
+    """Build the jitted data-parallel superstep over a device-resident
+    (replicated) corpus.
+
+    Expects a ``TrainState`` whose per-stream leaves (h, c, positions) are
+    sharded over ``axis`` and whose params/m/step are replicated (see
+    ``shard_state``). Global batch ``dcfg.batch`` must divide the mesh size.
+    """
+
+    def window_fn(state, _):
+        return corpus_mod.make_windows(corpus, state.positions, dcfg.seq)
+
+    return _make_dp_superstep_impl(
+        mcfg, dcfg, tcfg, int(corpus.shape[0]), mesh, axis, cell_fn, donate,
+        window_fn, streamed=False,
+    )
+
+
+def make_dp_streamed_superstep(
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    tcfg: TrainConfig,
+    length: int,
+    mesh: Mesh,
+    axis: str = "data",
+    cell_fn=None,
+    donate: bool = True,
+):
+    """DP superstep fed by host-streamed windows: ``superstep(state,
+    windows)`` with ``windows`` the feeder's global (K, S+1, B) uint8 batch,
+    device_put sharded over the batch axis (per-host feeding — each device
+    receives only its B/ndev stream slice). Cursors advance in-jit exactly
+    as the resident path, so the two are trajectory-identical."""
+
+    def window_fn(state, win):
+        w = win.astype(jnp.int32)
+        return w[:-1], w[1:]
+
+    return _make_dp_superstep_impl(
+        mcfg, dcfg, tcfg, length, mesh, axis, cell_fn, donate,
+        window_fn, streamed=True,
+    )
 
 
 def _params_struct(mcfg: ModelConfig):

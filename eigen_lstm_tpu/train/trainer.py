@@ -212,9 +212,10 @@ class Trainer:
         self.crosscheck_failures = 0
         self.feeder = None
         self._next_windows = None
+        self._windows_sharding = None
         if streaming:
-            if mesh is not None:
-                raise ValueError("streaming is single-device for now")
+            if mesh is not None and parallel != "dp":
+                raise ValueError("streaming supports single-device and dp")
             self.corpus = None
         else:
             self.corpus = jnp.asarray(train_data)
@@ -226,9 +227,24 @@ class Trainer:
             from ..parallel import dp as dp_mod
 
             self._shard = lambda s: dp_mod.shard_state(s, mesh, mesh_axis)
-            self.superstep = dp_mod.make_dp_superstep(
-                mcfg, dcfg, tcfg, self.corpus, mesh, mesh_axis, cell_fn
-            )
+            if streaming:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from ..data import streaming as streaming_mod
+
+                self.superstep = dp_mod.make_dp_streamed_superstep(
+                    mcfg, dcfg, tcfg, len(train_data), mesh, mesh_axis, cell_fn
+                )
+                self.feeder = streaming_mod.WindowFeeder(
+                    train_data, dcfg, tcfg.superstep
+                )
+                self._windows_sharding = NamedSharding(
+                    mesh, PartitionSpec(None, None, mesh_axis)
+                )
+            else:
+                self.superstep = dp_mod.make_dp_superstep(
+                    mcfg, dcfg, tcfg, self.corpus, mesh, mesh_axis, cell_fn
+                )
         elif mesh is not None and parallel == "tp":
             from ..parallel import tp as tp_mod
 
@@ -357,9 +373,13 @@ class Trainer:
         if self.feeder is None:
             return self.superstep(self.state)
         if self._next_windows is None:
-            self._next_windows = jax.device_put(self.feeder.next_batch())
+            self._next_windows = jax.device_put(
+                self.feeder.next_batch(), self._windows_sharding
+            )
         out = self.superstep(self.state, self._next_windows)
-        self._next_windows = jax.device_put(self.feeder.next_batch())
+        self._next_windows = jax.device_put(
+            self.feeder.next_batch(), self._windows_sharding
+        )
         return out
 
     def _current_windows(self):

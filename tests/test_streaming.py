@@ -130,3 +130,22 @@ def test_memmap_corpus(data, tmp_path):
     batch = feeder.next_batch()
     assert batch.shape == (2, DCFG.seq + 1, DCFG.batch)
     assert batch.dtype == np.uint8
+
+
+def test_dp_streamed_matches_dp_resident(data):
+    """8-device DP: host-streamed windows (sharded over the batch axis)
+    reproduce the resident in-jit gather trajectory exactly."""
+    from eigen_lstm_tpu.parallel.mesh import make_mesh
+
+    dcfg = dataclasses.replace(DCFG, batch=8)
+    tr_res = Trainer(MCFG, dcfg, TCFG, data, None,
+                     mesh=make_mesh(8), parallel="dp")
+    tr_str = Trainer(MCFG, dcfg, TCFG, data, None,
+                     mesh=make_mesh(8), parallel="dp", streaming=True)
+    tr_res.run(steps=TCFG.steps, quiet=True)
+    tr_str.run(steps=TCFG.steps, quiet=True)
+    np.testing.assert_array_equal(
+        np.asarray(tr_res.state.positions), np.asarray(tr_str.state.positions)
+    )
+    _params_close(tr_res.state.params, tr_str.state.params)
+    _params_close(tr_res.state.h, tr_str.state.h)
