@@ -44,6 +44,10 @@ def _add_model_args(p: argparse.ArgumentParser):
                    help="tensor-parallel over N devices (gate-sharded "
                         "weights; --hidden must divide by N). Combine with "
                         "--dp for a 2-D (data x model) mesh")
+    p.add_argument("--sp", type=int, default=None, metavar="N",
+                   help="sequence-pipeline the BPTT window over N devices "
+                        "(time segments, batch microchunks of --pp-chunks; "
+                        "parallel/sp.py)")
     p.add_argument("--pp", type=int, default=None, metavar="N",
                    help="pipeline-parallel over N stages (--layers must "
                         "divide by N; sequence chunked by --pp-chunks)")

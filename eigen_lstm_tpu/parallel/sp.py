@@ -1,0 +1,314 @@
+"""Sequence pipelining: the *time axis* of the recurrence across a ``seq``
+mesh axis — the other pipeline axis from layer-stage PP (parallel/pp.py).
+
+An LSTM's recurrence is sequential in t, so the S-step window cannot be
+time-parallelized directly (SURVEY.md §7 "hard parts"). It CAN be
+pipelined: cut the window into D contiguous time segments (device d owns
+steps [d·S/D, (d+1)·S/D)) and cut the batch into C microchunks as the
+pipeline unit. At tick k, device d runs its *whole layer stack* over its
+time segment for microchunk ``k - d`` and hands the resulting per-layer
+(h, c) carry to device d+1 over ICI (``ppermute``) — microchunk j's
+segments execute in time order across devices, so the math is exactly the
+single-device scan. Total ticks = C + D - 1; bubble fraction (D-1)/(C+D-1).
+
+When to use it over DP: DP shards the batch, so per-device batch shrinks
+and the MXU starves at small B (the U GEMM loses its batch dimension); SP
+keeps the *full* microchunk batch on every device and shards wall-clock
+time instead — the right axis when B is already at the MXU knee but S is
+long (the reference's own scaling axis: windows up to S=100,
+``models/enwik8_newton_N400_S100_B1024*``, SURVEY.md §5 long-context).
+
+Parameters are fully replicated (every device runs every layer), so
+gradient reduction is the automatic vma transpose of the loss psum —
+no hand-written collective. Backward is ``jax.grad`` through ``ppermute``
+(its transpose is the reverse permute), which yields the reverse pipeline
+schedule for free. Exactness vs the single-device trainer is gated by
+tests/test_sp.py — including ``reset_std > 0`` (state is replicated, so
+the reset RNG stream is bit-identical to the single-device trainer's,
+unlike DP/PP whose per-shard folds decorrelate).
+
+The reference has no parallelism of any kind (SURVEY.md §2.4); this is
+TPU-native new capability.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DataConfig, ModelConfig, TrainConfig
+from ..models import lstm as model
+
+
+def _varying(x, axis):
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis,), to="varying")
+    return jax.lax.pvary(x, (axis,))
+
+
+def sp_loss_fn(
+    params: model.LSTMParams,   # replicated
+    ids: jax.Array,             # (S, B) replicated
+    targets: jax.Array,         # (S, B) replicated
+    h0: jax.Array,              # (L, B, N) replicated
+    c0: jax.Array,
+    cfg: ModelConfig,
+    n_chunks: int,
+    axis: str = "seq",
+    cell_fn=None,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
+    """Pipelined forward + softmax-CE loss over time segments.
+    Returns (loss, (hT, cT, mean_bits)) — all replicated across the axis
+    (hT/cT are psum-broadcast from the final segment's device)."""
+    s, b_ = ids.shape
+    d = jax.lax.axis_size(axis)
+    sidx = jax.lax.axis_index(axis)
+    assert s % d == 0, "seq must divide the seq-mesh size"
+    assert b_ % n_chunks == 0, "batch must divide into chunks"
+    seg = s // d
+    bs = b_ // n_chunks
+    nl = len(params.layers)
+    n = cfg.hidden
+
+    # this device's time rows, cut into batch microchunks (C, seg, bs)
+    ids_seg = jax.lax.dynamic_slice_in_dim(ids, sidx * seg, seg, 0)
+    tgt_seg = jax.lax.dynamic_slice_in_dim(targets, sidx * seg, seg, 0)
+    ids_chunks = ids_seg.reshape(seg, n_chunks, bs).transpose(1, 0, 2)
+    tgt_chunks = tgt_seg.reshape(seg, n_chunks, bs).transpose(1, 0, 2)
+    perm = [(i, i + 1) for i in range(d - 1)]
+
+    def tick(carry, k):
+        buf_h, buf_c, bits_acc, hT_acc, cT_acc = carry
+        j = jnp.clip(k - sidx, 0, n_chunks - 1)
+        active = (k >= sidx) & (k - sidx < n_chunks)
+
+        my_ids = jax.lax.dynamic_index_in_dim(ids_chunks, j, 0, False)
+        my_tgt = jax.lax.dynamic_index_in_dim(tgt_chunks, j, 0, False)
+        # segment 0 starts from the window's initial state (chunk j's
+        # slice); later segments start from the carry handed up the ring
+        h0_j = jax.lax.dynamic_slice_in_dim(h0, j * bs, bs, 1)
+        c0_j = jax.lax.dynamic_slice_in_dim(c0, j * bs, bs, 1)
+        h_in = jnp.where(sidx == 0, h0_j.astype(buf_h.dtype), buf_h)
+        c_in = jnp.where(sidx == 0, c0_j.astype(buf_c.dtype), buf_c)
+
+        h_top, (hT, cT) = model.forward(
+            params, my_ids, h_in, c_in, cfg, cell_fn=cell_fn
+        )
+
+        if cfg.loss_mode == "last":
+            # only global t = S-1 scores: final row of the final segment
+            logits = model.logits_from_h(params, h_top[-1], cfg)
+            chunk_bits = jnp.sum(model.softmax_xent_bits(logits, my_tgt[-1]))
+            scored = active & (sidx == d - 1)
+        else:
+            logits = model.logits_from_h(params, h_top, cfg)
+            chunk_bits = jnp.sum(model.softmax_xent_bits(logits, my_tgt))
+            scored = active
+        bits_acc = bits_acc + jnp.where(scored, chunk_bits, 0.0).astype(
+            bits_acc.dtype
+        )
+
+        # the final segment's device assembles the window-final (h, c) for
+        # the trainer's stream carry
+        upd = active & (sidx == d - 1)
+        hT_new = jax.lax.dynamic_update_slice_in_dim(
+            hT_acc, hT.astype(hT_acc.dtype), j * bs, 1
+        )
+        cT_new = jax.lax.dynamic_update_slice_in_dim(
+            cT_acc, cT.astype(cT_acc.dtype), j * bs, 1
+        )
+        hT_acc = jnp.where(upd, hT_new, hT_acc)
+        cT_acc = jnp.where(upd, cT_new, cT_acc)
+
+        out_h = hT.astype(cfg.pdtype)
+        out_c = cT.astype(cfg.pdtype)
+        if d > 1:
+            out_h = jax.lax.ppermute(out_h, axis, perm)
+            out_c = jax.lax.ppermute(out_c, axis, perm)
+        return (out_h, out_c, bits_acc, hT_acc, cT_acc), None
+
+    buf0 = _varying(jnp.zeros((nl, bs, n), cfg.pdtype), axis)
+    bits0 = _varying(jnp.zeros((), cfg.adtype), axis)
+    acc0 = _varying(jnp.zeros((nl, b_, n), cfg.pdtype), axis)
+    (_, _, bits_acc, hT_acc, cT_acc), _ = jax.lax.scan(
+        tick,
+        (buf0, buf0, bits0, acc0, acc0),
+        jnp.arange(n_chunks + d - 1),
+    )
+    total = jax.lax.psum(bits_acc, axis)
+    denom = b_ if cfg.loss_mode == "last" else s * b_
+    mean_bits = total / denom
+    loss = mean_bits if cfg.loss_base == "2" else mean_bits * model.LN2
+    # broadcast the assembled final state from the last device
+    is_last = (sidx == d - 1).astype(hT_acc.dtype)
+    hT = jax.lax.psum(hT_acc * is_last, axis)
+    cT = jax.lax.psum(cT_acc * is_last, axis)
+    return loss, (hT, cT, mean_bits)
+
+
+def make_sp_loss_and_grad(
+    mcfg: ModelConfig, mesh: Mesh, n_chunks: int, axis: str = "seq",
+    cell_fn=None,
+):
+    """jitted ((loss, bits), grads) over the seq mesh — everything
+    replicated; grads come back reduced by the vma transpose."""
+    repl = jax.tree_util.tree_map(
+        lambda _: P(), jax.eval_shape(lambda: model.init_params(mcfg))
+    )
+
+    def local(params, ids, targets, h0, c0):
+        def loss_of(p):
+            loss, (hT, cT, bits) = sp_loss_fn(
+                p, ids, targets, h0, c0, mcfg, n_chunks, axis, cell_fn
+            )
+            return loss, (hT, cT, bits)
+
+        # differentiate wrt an explicitly device-varying copy of the
+        # replicated params (the embed op's custom VJP requires matching
+        # vma types); each device's grads are its pipeline contribution,
+        # psum'd to the total
+        params_v = jax.tree_util.tree_map(lambda x: _varying(x, axis), params)
+        (loss, (hT, cT, bits)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(params_v)
+        grads = jax.lax.psum(grads, axis)
+        return loss, bits, hT, cT, grads
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(repl, P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), repl),
+    )
+    return jax.jit(mapped)
+
+
+def make_sp_superstep(
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    tcfg: TrainConfig,
+    corpus: jax.Array,
+    mesh: Mesh,
+    axis: str = "seq",
+    cell_fn=None,
+    donate: bool = True,
+):
+    """Full jitted K-step training superstep over the seq mesh: window
+    gather → time-pipelined fwd/bwd → Adagrad → cursor advance → stream
+    carry, mirroring trainer.make_superstep step-for-step (tests/test_sp.py
+    gates training-trajectory parity with the single-device path, including
+    stream resets)."""
+    from ..data import corpus as corpus_mod
+    from ..train import optimizer as opt_mod
+    from ..train.trainer import TrainState
+
+    ndev = mesh.devices.size
+    length = int(corpus.shape[0])
+    stride = dcfg.effective_stride
+    seq = dcfg.seq
+    n_chunks = tcfg.pp_chunks
+    if seq % ndev != 0:
+        raise ValueError(f"seq {seq} not divisible by {ndev} seq devices")
+    if dcfg.batch % n_chunks != 0:
+        raise ValueError(
+            f"batch {dcfg.batch} not divisible by pp_chunks {n_chunks}"
+        )
+
+    def inner(state: TrainState, _):
+        x, t = corpus_mod.make_windows(corpus, state.positions, seq)
+
+        def loss_of(p):
+            return sp_loss_fn(
+                p, x, t, state.h, state.c, mcfg, n_chunks, axis, cell_fn
+            )
+
+        params_v = jax.tree_util.tree_map(
+            lambda p: _varying(p, axis), state.params
+        )
+        (loss, (h2, c2, bits)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(params_v)
+        # each device's grads are its pipeline-segment contribution (params
+        # entered as an explicitly varying copy); one psum totals them
+        grads = jax.lax.psum(grads, axis)
+        if tcfg.skip_nonfinite:
+            finite = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+            )
+            h2 = jnp.where(finite, h2, state.h.astype(h2.dtype))
+            c2 = jnp.where(finite, c2, state.c.astype(c2.dtype))
+        newpos, wrapped = corpus_mod.advance_positions(
+            state.positions, stride, length, seq
+        )
+        if dcfg.carry_state:
+            # state is replicated, so the reset stream is identical to the
+            # single-device trainer's — exact parity even at reset_std > 0
+            key, sub = jax.random.split(state.key)
+            mask = wrapped[None, :, None]
+            if dcfg.reset_std > 0.0:
+                kh, kc = jax.random.split(sub)
+                rh = jax.random.normal(kh, h2.shape, h2.dtype) * dcfg.reset_std
+                rc = jax.random.normal(kc, c2.shape, c2.dtype) * dcfg.reset_std
+            else:
+                rh = jnp.zeros_like(h2)
+                rc = jnp.zeros_like(c2)
+            h2 = jnp.where(mask, rh, h2)
+            c2 = jnp.where(mask, rc, c2)
+        else:
+            key = state.key
+            h2 = jnp.zeros_like(state.h)
+            c2 = jnp.zeros_like(state.c)
+        params, m, gnorm = opt_mod.apply_updates(
+            state.params, grads, state.m, state.step, tcfg
+        )
+        return TrainState(
+            params, m, h2.astype(state.h.dtype), c2.astype(state.c.dtype),
+            newpos, state.step + 1, key
+        ), (bits, gnorm)
+
+    def local_superstep(state: TrainState):
+        state, (bits, gnorms) = jax.lax.scan(
+            inner, state, None, length=tcfg.superstep
+        )
+        return state, {
+            "bits_mean": jnp.mean(bits),
+            "bits_last": bits[-1],
+            "gnorm_mean": jnp.mean(gnorms),
+        }
+
+    repl = jax.tree_util.tree_map(
+        lambda _: P(),
+        jax.eval_shape(lambda: model.init_params(mcfg)),
+    )
+    state_specs = TrainState(
+        params=repl, m=repl, h=P(), c=P(), positions=P(), step=P(), key=P()
+    )
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    mapped = jax.shard_map(
+        local_superstep,
+        mesh=mesh,
+        in_specs=(state_specs,),
+        out_specs=(state_specs, metrics_specs),
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def shard_sp_state(state, mesh: Mesh, axis: str = "seq"):
+    """Everything replicated — SP shards wall-clock time, not arrays."""
+    from ..train.trainer import TrainState
+
+    repl = NamedSharding(mesh, P())
+    put = lambda x: jax.device_put(x, repl)
+    return TrainState(
+        params=jax.tree_util.tree_map(put, state.params),
+        m=jax.tree_util.tree_map(put, state.m),
+        h=put(state.h),
+        c=put(state.c),
+        positions=put(state.positions),
+        step=put(state.step),
+        key=put(state.key),
+    )

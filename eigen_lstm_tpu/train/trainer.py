@@ -295,6 +295,15 @@ class Trainer:
             self.superstep = dp_tp_mod.make_dp_tp_superstep(
                 mcfg, dcfg, tcfg, self.corpus, mesh
             )
+        elif mesh is not None and parallel == "sp":
+            from ..parallel import sp as sp_mod
+
+            # params stay canonical and replicated; SP shards wall-clock
+            # time (window segments across devices), not arrays
+            self._shard = lambda s: sp_mod.shard_sp_state(s, mesh)
+            self.superstep = sp_mod.make_sp_superstep(
+                mcfg, dcfg, tcfg, self.corpus, mesh, cell_fn=cell_fn
+            )
         elif mesh is not None and parallel == "pp":
             from ..parallel import pp as pp_mod
 

@@ -111,6 +111,13 @@ def main():
         dict(path=f"{ROOT}/data/enwik6.txt", train_percent=0.99, batch=64, seq=50),
         steps=800, superstep=10, lr=0.005, warmup=200,
     ))
+    rows.append(measure(
+        "5b. H=2048 full-batch single chip",
+        dict(hidden=2048, num_layers=1, loss_mode="all", compute_dtype="bfloat16",
+             residual_dtype="bfloat16", seed=0),
+        dict(path=f"{ROOT}/data/enwik6.txt", train_percent=0.99, batch=128, seq=100),
+        steps=400, superstep=10, lr=0.005, warmup=200,
+    ))
 
     # reference-corpora rows (SURVEY.md §6 grid: world192 + book1 at the
     # reference's GPU config N=256 S=25 B=16, lstm_eigen_class_CUDA)
@@ -141,18 +148,25 @@ def main():
         )
     lines += [
         "",
-        "MFU uses the corrected analytic model (no layer-0 dgrad; gather",
-        "embedding counts zero fwd FLOPs) against the peak of the run's",
-        "compute dtype. Rows 6-7 are the reference's own GPU config",
-        "(N=256 S=25 B=16, sliding windows, loss-on-last) on the mirrored",
-        "world192/book1 corpora (SURVEY.md §6).",
-        "Config 2 (fp32) runs ~3x slower than round 1: fp32 matmuls now pin",
-        "Precision.HIGHEST (three-pass MXU) because XLA's default executed them at",
-        "bf16 precision — round-1's fp32 number was effectively bf16 math",
-        "(docs/PERFORMANCE.md). Use --dtype bfloat16 for throughput.",
-        "Config 5's 8-chip DP version is compile+execute validated on an",
-        "8-device virtual mesh (`__graft_entry__.dryrun_multichip`,",
-        "tests/test_parallel.py); this box has a single physical chip.",
+        "All single-chip rows use the host-streamed window feeder (the",
+        "in-jit byte gather costs ~21% of a small-model step,",
+        "docs/PERFORMANCE.md round 2c). MFU uses the corrected analytic",
+        "model (no layer-0 dgrad; gather embedding counts zero fwd FLOPs)",
+        "against the peak of the run's compute dtype. Rows 6-7 are the",
+        "reference's own GPU config (N=256 S=25 B=16, sliding windows,",
+        "loss-on-last) on the mirrored world192/book1 corpora (SURVEY.md §6).",
+        "Config 2 (fp32) pins Precision.HIGHEST (three-pass MXU): XLA's",
+        "default would execute fp32 matmuls at bf16 precision — use",
+        "--dtype bfloat16 for throughput (docs/PERFORMANCE.md).",
+        "Config 5 is the per-chip shard of BASELINE config 5 (global B=512",
+        "over v5e-8 -> B=64/chip): at B=64 the step is bound by streaming",
+        "the 32 MB U through the tiled-embed kernel — weight-stream roofline",
+        "~36% MFU at this batch (docs/PERFORMANCE.md). Row 5b is the same",
+        "model with the chip's MXU-balanced batch (B=128 S=100): 95% of its",
+        "~60%-MFU roofline. The 8-chip DP version of row 5 is",
+        "compile+execute validated on an 8-device virtual mesh",
+        "(`__graft_entry__.dryrun_multichip`, tests/test_parallel.py); this",
+        "box has a single physical chip.",
         "Reference baselines (BASELINE.md): 4 GFLOP/s CPU, 62-750 GFLOP/s GPU.",
     ]
     with open(os.path.join(ROOT, "BENCHMARKS.md"), "w") as f:
