@@ -1,17 +1,17 @@
 """Fused per-step cell kernel for tensor-parallel shards.
 
-Why per-step and not per-sequence: gate-sharded TP keeps h sharded (B, N/D)
-and every timestep needs the FULL h_{t-1} for the shard-local ``h @ U_shard``
-— an all-gather over the model axis *inside* the recurrence. A sequence-
-level kernel (ops/pallas_cell.py) would therefore need in-kernel ICI
-collectives (remote DMA + semaphores), which cannot be validated on this
-box (one physical chip; interpret mode does not simulate remote DMA). The
-testable TPU-native structure is: ``lax.scan`` owns the per-step
-``all_gather``; this kernel fuses everything shard-local in the step — the
-(B, N) x (N, 4N/D) gate matmul, bias, sigmoid/tanh, and the cell update —
-into one Pallas call, removing the per-step HLO materializations between
-them. U-shard VMEM residency across steps is inherently unavailable under
-TP's per-step collective; the BW analysis lives in docs/PERFORMANCE.md.
+Why per-step: gate-sharded TP keeps h sharded (B, N/D) and every timestep
+needs the FULL h_{t-1} for the shard-local ``h @ U_shard`` — an all-gather
+over the model axis *inside* the recurrence. Here ``lax.scan`` owns that
+per-step ``all_gather`` and this kernel fuses everything shard-local in the
+step — the (B, N) x (N, 4N/D) gate matmul, bias, sigmoid/tanh, and the cell
+update — into one Pallas call, removing the per-step HLO materializations
+between them. U-shard VMEM residency across steps is unavailable in this
+structure (the kernel boundary falls every step); ops/pallas_tp_seq.py is
+the sequence-level kernel that restores it by moving the h exchange
+*into* the kernel with ICI remote DMAs, and is preferred when its
+shape/VMEM gate passes. This per-step kernel remains the fallback (larger
+per-shard widths, 2-D meshes) and the simplest TP reference structure.
 
 Backward is a custom VJP with a mirrored fused kernel producing dg and the
 carried dc; the dU / dh_full contractions are plain MXU GEMMs outside (the

@@ -98,10 +98,16 @@ def _tp_scan_layer(layer, xw, h0_d, c0_d, cfg: ModelConfig, axis: str,
     Uses shard-local gate order [i,o,f,u] each N/D wide.
 
     ``backend="pallas"`` fuses the shard-local gate matmul + cell into one
-    kernel per step (ops/pallas_tp_cell.py); the per-step h all-gather stays
-    in the scan — a sequence-level kernel is impossible under TP because h
-    crosses devices every step (see that module's docstring)."""
+    kernel per step (ops/pallas_tp_cell.py). ``backend="pallas_seq"`` runs
+    the WHOLE recurrence in one kernel with the U shard VMEM-resident and
+    the per-step h exchange done in-kernel over ICI remote DMAs
+    (ops/pallas_tp_seq.py) — the fastest TP structure."""
     nd = layer.U.shape[1] // 4
+    if backend == "pallas_seq":
+        from ..ops.pallas_tp_seq import tp_seq_lstm
+
+        ndev = jax.lax.axis_size(axis)
+        return tp_seq_lstm(layer.U, xw, h0_d, c0_d, cfg, axis, ndev)
     if backend == "pallas":
         from ..ops.pallas_tp_cell import fused_tp_step
 
@@ -179,9 +185,11 @@ def tp_loss_fn(
 
 
 def make_tp_loss_and_grad(mcfg: ModelConfig, mesh: Mesh, axis: str = "model",
-                          backend: str = "xla"):
+                          backend: str = "xla", check_vma: bool = True):
     """jitted (loss, bits), grads over the TP mesh. Params must be permuted
-    (``permute_params_for_tp``) and placed with ``shard_tp_params``."""
+    (``permute_params_for_tp``) and placed with ``shard_tp_params``.
+    ``check_vma=False`` is required to run the pallas_seq backend in
+    interpret mode (the interpreter's internal buffers carry no vma types)."""
     pspecs = tp_specs(mcfg, axis)
     state_spec = P(None, None, axis)   # (L, B, N) sharded on hidden
 
@@ -197,6 +205,7 @@ def make_tp_loss_and_grad(mcfg: ModelConfig, mesh: Mesh, axis: str = "model",
         mesh=mesh,
         in_specs=(pspecs, P(), P(), state_spec, state_spec),
         out_specs=(P(), P(), pspecs),
+        check_vma=check_vma,
     )
     return jax.jit(mapped)
 
@@ -219,6 +228,7 @@ def make_tp_superstep(
     axis: str = "model",
     donate: bool = True,
     backend: str = "xla",
+    check_vma: bool = True,
 ):
     """Full TP training superstep (scan of K steps): windows are replicated
     (every device reads the same byte streams), each device trains its own
@@ -305,6 +315,7 @@ def make_tp_superstep(
         mesh=mesh,
         in_specs=(state_specs,),
         out_specs=(state_specs, metrics_specs),
+        check_vma=check_vma,
     )
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 

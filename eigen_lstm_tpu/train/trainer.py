@@ -16,6 +16,7 @@ checkpoint (the reference's 60 s / 900 s timed-eval pattern,
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -265,12 +266,23 @@ class Trainer:
                 axis,
             )
             from ..ops.pallas_tp_cell import tp_pallas_supported
+            from ..ops.pallas_tp_seq import tp_seq_supported
 
-            tp_backend = (
-                "pallas"
-                if cell_fn is not None and tp_pallas_supported(mcfg, dcfg.batch, ndev)
-                else "xla"
-            )
+            # prefer the sequence-level kernel (U shard VMEM-resident for the
+            # whole window, in-kernel ICI h exchange) over the per-step one;
+            # EIGEN_LSTM_TP_SEQ=0 falls back (ops/pallas_tp_seq.py)
+            if (
+                cell_fn is not None
+                and tp_seq_supported(mcfg, dcfg.batch, ndev)
+                and os.environ.get("EIGEN_LSTM_TP_SEQ", "1") != "0"
+            ):
+                tp_backend = "pallas_seq"
+            elif cell_fn is not None and tp_pallas_supported(
+                mcfg, dcfg.batch, ndev
+            ):
+                tp_backend = "pallas"
+            else:
+                tp_backend = "xla"
             self.superstep = tp_mod.make_tp_superstep(
                 mcfg, dcfg, tcfg, self.corpus, mesh, axis, backend=tp_backend
             )
