@@ -185,10 +185,11 @@ def _make_trainer(args):
     mcfg, dcfg, tcfg = _configs(args)
     uses_mesh = bool(
         getattr(args, "dp", None) or getattr(args, "tp", None)
-        or getattr(args, "pp", None)
+        or getattr(args, "pp", None) or getattr(args, "sp", None)
     )
     dp_only_mesh = bool(getattr(args, "dp", None)) and not (
         getattr(args, "tp", None) or getattr(args, "pp", None)
+        or getattr(args, "sp", None)
     )
     streaming = getattr(args, "stream_data", None)
     if streaming is None:
@@ -210,8 +211,11 @@ def _make_trainer(args):
     n_dp = getattr(args, "dp", None)
     n_tp = getattr(args, "tp", None)
     n_pp = getattr(args, "pp", None)
-    if n_pp and (n_dp or n_tp):
-        raise SystemExit("--pp cannot be combined with --dp/--tp")
+    n_sp = getattr(args, "sp", None)
+    if n_pp and (n_dp or n_tp or n_sp):
+        raise SystemExit("--pp cannot be combined with --dp/--tp/--sp")
+    if n_sp and (n_dp or n_tp):
+        raise SystemExit("--sp cannot be combined with --dp/--tp")
     if n_dp and n_tp:
         from .parallel.dp_tp import make_mesh_2d
 
@@ -235,6 +239,12 @@ def _make_trainer(args):
         mesh = make_mesh(n_pp, axis="stage")
         parallel = "pp"
         print(f"pipeline-parallel over {n_pp} stages", flush=True)
+    elif n_sp:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_sp, axis="seq")
+        parallel = "sp"
+        print(f"sequence-pipelined over {n_sp} time segments", flush=True)
     cell_fn = select_cell_fn(args.backend, mcfg, dcfg.batch)
     trainer = Trainer(
         mcfg, dcfg, tcfg, train, test,

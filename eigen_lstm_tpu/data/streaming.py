@@ -1,10 +1,10 @@
-"""Host-streaming window feeder — data feeding for corpora that rival HBM.
+"""Host-streaming window feeder — data feeding without a device-resident corpus.
 
 The resident path (``data/corpus.py``) uploads the whole corpus to device
 memory and gathers windows *inside* the jitted superstep — optimal for the
-reference's corpora (alice29 … enwik8, ≤100 MB). At enwik9 scale and beyond
-the corpus competes with model/optimizer state for HBM, so this module keeps
-the corpus on the host (``np.memmap`` — zero-copy pages via the OS cache,
+reference's corpora (alice29 … enwik8, ≤100 MB). At enwik9 scale (1 GB) the
+corpus starts competing with model/optimizer state for HBM, so this module
+keeps it on the host (``np.memmap`` — zero-copy pages via the OS cache,
 the same mmap strategy as the native loader, ``native/eigenlstm_io.cpp``)
 and ships each superstep one small ``(K, S+1, B)`` uint8 window batch
 (~130 kB at the headline config vs the multi-GB corpus). The trainer
@@ -22,6 +22,14 @@ a restore.
 Reference counterpart: the host-side window build the CUDA driver performs
 every character step (``class_CUDA/lstm.cc:277-311``) — here it happens
 once per superstep, for K·B windows at a time, off the critical path.
+
+Scale bound: stream cursors are int32 end-to-end (host mirror, device
+``TrainState.positions``, checkpoint format), so corpora are limited to
+2^31-1 bytes (~2.1 GB) — 21x enwik9-class headroom over the largest corpus
+the reference names. ``load_corpus_mmap`` rejects larger files explicitly
+rather than overflowing; widening to int64 cursors (jax_enable_x64 or a
+split hi/lo scheme) is the documented extension path if multi-GB corpora
+ever appear.
 """
 
 from __future__ import annotations
@@ -36,7 +44,14 @@ from ..config import DataConfig
 def load_corpus_mmap(path: str) -> np.ndarray:
     """Corpus as a read-only byte memmap (no RSS cost until pages are
     touched). Drop-in for ``corpus.rawread`` for the streaming path."""
-    return np.memmap(path, dtype=np.uint8, mode="r")
+    data = np.memmap(path, dtype=np.uint8, mode="r")
+    if data.shape[0] >= np.iinfo(np.int32).max:
+        raise ValueError(
+            f"corpus {path} is {data.shape[0]} bytes; stream cursors are "
+            f"int32, max supported corpus is {np.iinfo(np.int32).max - 1} "
+            "bytes (see data/streaming.py docstring)"
+        )
+    return data
 
 
 def advance_host(

@@ -126,7 +126,10 @@ def _scan_layer(
     if cfg.remat:
         # trade recompute for BPTT activation memory at long S / large N
         step = jax.checkpoint(step)
-    (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), xw)
+    # the carry lives in param dtype; stream state arrives as f32
+    (hT, cT), h_seq = jax.lax.scan(
+        step, (h0.astype(cfg.pdtype), c0.astype(cfg.pdtype)), xw
+    )
     return h_seq, (hT, cT)
 
 

@@ -56,7 +56,7 @@ from .pallas_tp_cell import _bwd_math, _fwd_math
 VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def _fwd_kernel(nd, ndev, seq, variant, cdtype, axis,
+def _fwd_kernel(nd, ndev, seq, variant, cdtype, pdtype, axis,
                 U_ref, xw_ref, h0_ref, c0_ref,
                 hseq_ref, gseq_ref, cprev_ref, hT_ref, cT_ref,
                 hbuf, cbuf, send_sems, recv_sems):
@@ -79,14 +79,19 @@ def _fwd_kernel(nd, ndev, seq, variant, cdtype, axis,
     h2, c2, g = _fwd_math(
         U_ref[...], xw_ref[0], hbuf[p], cbuf[...], nd, variant, cdtype
     )
+    # the XLA TP scan rounds the carried h/c to param dtype every step
+    # (parallel/tp.py step()); match it so parity holds for every
+    # pdtype/cdtype combination, not just pdtype == float32
+    h2r = h2.astype(pdtype)
+    c2r = c2.astype(pdtype)
     gseq_ref[0] = g.astype(gseq_ref.dtype)
-    hseq_ref[0] = h2.astype(hseq_ref.dtype)
-    cbuf[...] = c2
+    hseq_ref[0] = h2r.astype(hseq_ref.dtype)
+    cbuf[...] = c2r.astype(jnp.float32)
 
     @pl.when(t == seq - 1)
     def _():
-        hT_ref[...] = h2
-        cT_ref[...] = c2
+        hT_ref[...] = h2r.astype(jnp.float32)
+        cT_ref[...] = c2r.astype(jnp.float32)
 
     if ndev > 1:
         # own slot locally, then one remote DMA per peer into their slot `me`
@@ -96,7 +101,7 @@ def _fwd_kernel(nd, ndev, seq, variant, cdtype, axis,
         # when kernels exit.
         @pl.when(t < seq - 1)
         def _():
-            hbuf[q, :, pl.ds(me * nd, nd)] = h2.astype(hbuf.dtype)
+            hbuf[q, :, pl.ds(me * nd, nd)] = h2r.astype(hbuf.dtype)
             copies = []
             for k in range(1, ndev):
                 peer = jax.lax.rem(me + k, ndev)
@@ -113,7 +118,7 @@ def _fwd_kernel(nd, ndev, seq, variant, cdtype, axis,
             for c in copies:
                 c.wait()
     else:
-        hbuf[q] = h2.astype(hbuf.dtype)
+        hbuf[q] = h2r.astype(hbuf.dtype)
 
 
 def _bwd_kernel(nd, ndev, seq, variant, cdtype, axis,
@@ -210,7 +215,9 @@ def _make_tp_seq(b: int, n: int, nd: int, seq: int, ndev: int, variant: str,
     revstep = lambda s: pl.BlockSpec((1,) + s, lambda i: (seq - 1 - i, 0, 0))
 
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, nd, ndev, seq, variant, cdtype, axis),
+        functools.partial(
+            _fwd_kernel, nd, ndev, seq, variant, cdtype, pdtype, axis
+        ),
         in_specs=[
             const2((n, 4 * nd)),                       # U shard
             perstep((b, 4 * nd)),                      # xw (+bias), adtype
@@ -332,7 +339,11 @@ def tp_seq_lstm(U, xw, h0_d, c0_d, cfg: ModelConfig, axis: str,
         jnp.dtype(cfg.cdtype).name, jnp.dtype(cfg.residual_dtype).name,
         jnp.dtype(cfg.pdtype).name, axis, interpret_kind,
     )
-    h_seq_d, hT, cT = fn(U, xw.astype(jnp.float32),
+    # U enters the kernel pre-cast to compute dtype: the VMEM block is then
+    # csz-sized (what tp_seq_supported budgets) and the per-step
+    # U_ref.astype inside the kernel is a no-op; the astype's transpose
+    # returns dU to the param dtype automatically
+    h_seq_d, hT, cT = fn(U.astype(cfg.cdtype), xw.astype(jnp.float32),
                          h0_d.astype(jnp.float32), c0_d.astype(jnp.float32))
     return h_seq_d, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))
 

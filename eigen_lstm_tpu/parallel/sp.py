@@ -202,12 +202,10 @@ def make_sp_superstep(
     gates training-trajectory parity with the single-device path, including
     stream resets)."""
     from ..data import corpus as corpus_mod
-    from ..train import optimizer as opt_mod
-    from ..train.trainer import TrainState
+    from ..train.trainer import TrainState, _make_inner, _scan_metrics
 
     ndev = mesh.devices.size
     length = int(corpus.shape[0])
-    stride = dcfg.effective_stride
     seq = dcfg.seq
     n_chunks = tcfg.pp_chunks
     if seq % ndev != 0:
@@ -217,68 +215,35 @@ def make_sp_superstep(
             f"batch {dcfg.batch} not divisible by pp_chunks {n_chunks}"
         )
 
-    def inner(state: TrainState, _):
-        x, t = corpus_mod.make_windows(corpus, state.positions, seq)
+    def window_fn(state, _):
+        return corpus_mod.make_windows(corpus, state.positions, seq)
 
+    def loss_grad_fn(params, x, t, h, c):
         def loss_of(p):
-            return sp_loss_fn(
-                p, x, t, state.h, state.c, mcfg, n_chunks, axis, cell_fn
-            )
+            return sp_loss_fn(p, x, t, h, c, mcfg, n_chunks, axis, cell_fn)
 
-        params_v = jax.tree_util.tree_map(
-            lambda p: _varying(p, axis), state.params
-        )
+        # differentiate wrt an explicitly device-varying copy of the
+        # replicated params; each device's grads are its pipeline-segment
+        # contribution, one psum totals them
+        params_v = jax.tree_util.tree_map(lambda p: _varying(p, axis), params)
         (loss, (h2, c2, bits)), grads = jax.value_and_grad(
             loss_of, has_aux=True
         )(params_v)
-        # each device's grads are its pipeline-segment contribution (params
-        # entered as an explicitly varying copy); one psum totals them
         grads = jax.lax.psum(grads, axis)
-        if tcfg.skip_nonfinite:
-            finite = jnp.isfinite(loss)
-            grads = jax.tree_util.tree_map(
-                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
-            )
-            h2 = jnp.where(finite, h2, state.h.astype(h2.dtype))
-            c2 = jnp.where(finite, c2, state.c.astype(c2.dtype))
-        newpos, wrapped = corpus_mod.advance_positions(
-            state.positions, stride, length, seq
-        )
-        if dcfg.carry_state:
-            # state is replicated, so the reset stream is identical to the
-            # single-device trainer's — exact parity even at reset_std > 0
-            key, sub = jax.random.split(state.key)
-            mask = wrapped[None, :, None]
-            if dcfg.reset_std > 0.0:
-                kh, kc = jax.random.split(sub)
-                rh = jax.random.normal(kh, h2.shape, h2.dtype) * dcfg.reset_std
-                rc = jax.random.normal(kc, c2.shape, c2.dtype) * dcfg.reset_std
-            else:
-                rh = jnp.zeros_like(h2)
-                rc = jnp.zeros_like(c2)
-            h2 = jnp.where(mask, rh, h2)
-            c2 = jnp.where(mask, rc, c2)
-        else:
-            key = state.key
-            h2 = jnp.zeros_like(state.h)
-            c2 = jnp.zeros_like(state.c)
-        params, m, gnorm = opt_mod.apply_updates(
-            state.params, grads, state.m, state.step, tcfg
-        )
-        return TrainState(
-            params, m, h2.astype(state.h.dtype), c2.astype(state.c.dtype),
-            newpos, state.step + 1, key
-        ), (bits, gnorm)
+        return (loss, ((h2, c2), bits)), grads
+
+    # the guard / cursor / reset / Adagrad block is the trainer's own
+    # builder, so SP stays trajectory-identical by construction (state is
+    # replicated — even the reset RNG stream matches the single-device path)
+    inner = _make_inner(
+        mcfg, dcfg, tcfg, length, cell_fn, window_fn, loss_grad_fn
+    )
 
     def local_superstep(state: TrainState):
         state, (bits, gnorms) = jax.lax.scan(
             inner, state, None, length=tcfg.superstep
         )
-        return state, {
-            "bits_mean": jnp.mean(bits),
-            "bits_last": bits[-1],
-            "gnorm_mean": jnp.mean(gnorms),
-        }
+        return state, _scan_metrics(bits, gnorms)
 
     repl = jax.tree_util.tree_map(
         lambda _: P(),

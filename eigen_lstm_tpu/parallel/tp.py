@@ -26,7 +26,6 @@ kind (SURVEY.md §2.4) — this is TPU-native new capability.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 import jax
@@ -103,6 +102,9 @@ def _tp_scan_layer(layer, xw, h0_d, c0_d, cfg: ModelConfig, axis: str,
     the per-step h exchange done in-kernel over ICI remote DMAs
     (ops/pallas_tp_seq.py) — the fastest TP structure."""
     nd = layer.U.shape[1] // 4
+    # the scan carries h/c in param dtype; the stream state arrives as f32
+    h0_d = h0_d.astype(cfg.pdtype)
+    c0_d = c0_d.astype(cfg.pdtype)
     if backend == "pallas_seq":
         from ..ops.pallas_tp_seq import tp_seq_lstm
 

@@ -57,21 +57,30 @@ def _make_inner(
     length: int,
     cell_fn,
     window_fn,
+    loss_grad_fn=None,
 ):
     """One training step as a ``lax.scan`` body. ``window_fn(state, xs)``
     supplies the (x, t) int32 windows — gathered in-jit from a resident
     corpus, or taken from a host-streamed per-step batch (data/streaming.py).
+    ``loss_grad_fn(params, x, t, h, c)`` overrides the model/grad evaluation
+    (sequence pipelining substitutes its time-sharded loss, parallel/sp.py).
     Everything else (BPTT, non-finite guard, cursor advance, stream carry,
-    Adagrad) is shared so the two data paths are trajectory-identical."""
+    Adagrad) is shared so every data/parallel path using this builder is
+    trajectory-identical."""
 
     stride = dcfg.effective_stride
     seq = dcfg.seq
+    if loss_grad_fn is None:
+        def loss_grad_fn(params, x, t, h, c):
+            return jax.value_and_grad(model.loss_fn, has_aux=True)(
+                params, x, t, h, c, mcfg, cell_fn
+            )
 
     def inner(state: TrainState, xs) -> Tuple[TrainState, Tuple[jax.Array, jax.Array]]:
         x, t = window_fn(state, xs)
-        (loss, ((h2, c2), bits)), grads = jax.value_and_grad(
-            model.loss_fn, has_aux=True
-        )(state.params, x, t, state.h, state.c, mcfg, cell_fn)
+        (loss, ((h2, c2), bits)), grads = loss_grad_fn(
+            state.params, x, t, state.h, state.c
+        )
         if tcfg.skip_nonfinite:
             # reference skips NaN losses silently (cu_lstm.h:210-211); we
             # zero the grads so the Adagrad update is a no-op that step, and
@@ -310,11 +319,12 @@ class Trainer:
         elif mesh is not None and parallel == "sp":
             from ..parallel import sp as sp_mod
 
+            axis = mesh.axis_names[0]
             # params stay canonical and replicated; SP shards wall-clock
             # time (window segments across devices), not arrays
-            self._shard = lambda s: sp_mod.shard_sp_state(s, mesh)
+            self._shard = lambda s: sp_mod.shard_sp_state(s, mesh, axis)
             self.superstep = sp_mod.make_sp_superstep(
-                mcfg, dcfg, tcfg, self.corpus, mesh, cell_fn=cell_fn
+                mcfg, dcfg, tcfg, self.corpus, mesh, axis, cell_fn=cell_fn
             )
         elif mesh is not None and parallel == "pp":
             from ..parallel import pp as pp_mod

@@ -152,3 +152,24 @@ def test_profile_flag_writes_trace(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert tracedir.exists() and any(tracedir.rglob("*")), "no trace files written"
+
+
+def test_cli_sp_builds_seq_mesh(tmp_path):
+    """--sp must reach the sequence-pipelined trainer (a seq-axis mesh and
+    the sp superstep), not fall through to the single-device path."""
+    import numpy as np
+
+    from eigen_lstm_tpu.cli import _make_trainer
+
+    data = tmp_path / "tiny.txt"
+    data.write_bytes(bytes(np.tile(np.arange(64, dtype=np.uint8) + 32, 50)))
+    args = parse([
+        "train", "--data", str(data), "--hidden", "16", "--batch", "4",
+        "--seq", "8", "--steps", "4", "--superstep", "2", "--sp", "4",
+        "--pp-chunks", "2", "--vocab", "128", "--train-percent", "1.0",
+    ])
+    trainer = _make_trainer(args)
+    assert trainer.mesh is not None
+    assert trainer.mesh.axis_names == ("seq",)
+    assert trainer.parallel == "sp"
+    trainer.run(steps=2, quiet=True)

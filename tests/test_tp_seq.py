@@ -81,6 +81,24 @@ def test_tp_seq_matches_xla_backend(num_layers, ndev, loss_mode):
     cfg, params, ids, targets, h0, c0 = setup(
         num_layers=num_layers, loss_mode=loss_mode
     )
+    _assert_tp_seq_matches(cfg, params, ids, targets, h0, c0, ndev)
+
+
+def test_tp_seq_matches_xla_backend_narrow_params():
+    """param_dtype narrower than compute_dtype: the kernel must round the
+    carried h/c to param dtype every step exactly like the XLA scan does
+    (missing rounding diverges the trajectories)."""
+    cfg, params, ids, targets, h0, c0 = setup(
+        param_dtype="bfloat16", compute_dtype="float32"
+    )
+    # bf16 params: both backwards round in different orders at bf16 scale,
+    # so grads agree to bf16 epsilon, not f32
+    _assert_tp_seq_matches(cfg, params, ids, targets, h0, c0, 4,
+                           grad_rtol=5e-2, grad_atol=1e-4)
+
+
+def _assert_tp_seq_matches(cfg, params, ids, targets, h0, c0, ndev,
+                           grad_rtol=1e-4, grad_atol=1e-6):
     mesh = mesh_mod.make_mesh(ndev, axis="model")
     sp = tp_mod.shard_tp_params(tp_mod.permute_params_for_tp(params, ndev), mesh)
 
@@ -102,7 +120,7 @@ def test_tp_seq_matches_xla_backend(num_layers, ndev, loss_mode):
         jax.tree_util.tree_leaves(grads_k),
     ):
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            np.asarray(b), np.asarray(a), rtol=grad_rtol, atol=grad_atol,
             err_msg=f"tp_seq grad mismatch at {jax.tree_util.keystr(path)}",
         )
 
