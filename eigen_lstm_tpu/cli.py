@@ -28,8 +28,9 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--residual-dtype", choices=["auto", "float32", "bfloat16"],
                    default="auto",
                    help="storage dtype of saved BPTT residuals (h/c/g "
-                        "sequences). auto: bfloat16 at hidden >= 2048 under "
-                        "--dtype bfloat16 (the tiled-kernel VMEM budget), "
+                        "sequences). auto: bfloat16 under --dtype bfloat16 "
+                        "when hidden >= 2048 (tiled-kernel VMEM budget) or "
+                        "seq >= 512 (long-window residual streams), "
                         "float32 otherwise")
     p.add_argument("--forget-bias", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
@@ -120,9 +121,13 @@ def _configs(args):
 
     residual = getattr(args, "residual_dtype", "auto")
     if residual == "auto":
+        # bf16 residuals pay where the BPTT residual streams are on the
+        # critical path: the tiled H>=2048 regime, and long windows (S>=512:
+        # +3.8% at S=1000, docs/PERFORMANCE.md long-context)
         residual = (
             "bfloat16"
-            if args.dtype == "bfloat16" and args.hidden >= 2048
+            if args.dtype == "bfloat16"
+            and (args.hidden >= 2048 or args.seq >= 512)
             else "float32"
         )
     mcfg = ModelConfig(

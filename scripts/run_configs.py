@@ -122,7 +122,7 @@ def main():
     rows.append(measure(
         "8. long-context S=1000 (10x the reference's max window)",
         dict(hidden=512, num_layers=1, loss_mode="all", compute_dtype="bfloat16",
-             seed=0),
+             residual_dtype="bfloat16", seed=0),
         dict(path=f"{ROOT}/data/enwik6.txt", train_percent=0.99, batch=128,
              seq=1000),
         steps=40, superstep=5, lr=0.02, warmup=10,
