@@ -41,6 +41,15 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
+def _sds(shape, dtype, vma):
+    """ShapeDtypeStruct with an optional varying-manual-axes annotation —
+    required when a kernel lowers inside a vma-checked ``shard_map`` (the
+    sequence-pipelining path runs these kernels per time segment)."""
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _prec(cdtype):
     """fp32/fp64 matmuls must pin precision: the default TPU precision
     executes them at bf16 level (see ops/cell.py matmul)."""
@@ -153,7 +162,8 @@ def _bwd_kernel(n, s, variant, cdtype, U_ref, gseq_ref, cseq_ref, cprev_ref,
 
 @functools.lru_cache(maxsize=64)
 def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
-                    rdtype_name: str, interpret: bool):
+                    rdtype_name: str, interpret: bool,
+                    vma: tuple = ()):
     """Build the custom-VJP fused sequence op for static (S, B, N, ...).
     ``rdtype``: storage dtype for the saved h/c/g residual sequences."""
     cdtype = jnp.dtype(cdtype_name).type
@@ -180,9 +190,9 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
                 pl.BlockSpec((1, b, 4 * n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((s, b, n), rdtype),
-                jax.ShapeDtypeStruct((s, b, n), rdtype),
-                jax.ShapeDtypeStruct((s, b, 4 * n), rdtype),
+                _sds((s, b, n), rdtype, vma),
+                _sds((s, b, n), rdtype, vma),
+                _sds((s, b, 4 * n), rdtype, vma),
             ],
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),
@@ -220,9 +230,9 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((s, b, 4 * n), xdtype),
-                jax.ShapeDtypeStruct((b, n), f32),
-                jax.ShapeDtypeStruct((b, n), f32),
+                _sds((s, b, 4 * n), xdtype, vma),
+                _sds((b, n), f32, vma),
+                _sds((b, n), f32, vma),
             ],
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),
@@ -276,7 +286,7 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
     return fused_seq
 
 
-def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
+def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, vma_axis=None):
     """Drop-in ``cell_fn`` for ``models.lstm.forward``: same signature and
     semantics as the XLA ``_scan_layer`` (bias pre-folded into xw).
 
@@ -287,7 +297,7 @@ def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
     fn = _make_fused_seq(
         s, b, n, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
-        _use_interpret(),
+        _use_interpret(), (vma_axis,) if vma_axis else (),
     )
     xdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     h_seq, (hT, cT) = fn(
@@ -429,7 +439,7 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype,
 @functools.lru_cache(maxsize=64)
 def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                           cdtype_name: str, rdtype_name: str, interpret: bool,
-                          n_split: int = 1):
+                          n_split: int = 1, vma: tuple = ()):
     """custom-VJP fused layer-0 sequence op: (WU, b, ids, h0, c0) ->
     (h_seq, (hT, cT)). WU is the stacked (M+N, 4N) weight at the compute
     dtype; backward reuses the standard reverse-time kernel with U = WU[M:]
@@ -438,7 +448,8 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
     rdtype = jnp.dtype(rdtype_name).type
     f32 = jnp.float32
     xdtype = jnp.bfloat16 if cdtype_name == "bfloat16" else f32
-    base = _make_fused_seq(s, b, n, variant, cdtype_name, rdtype_name, interpret)
+    base = _make_fused_seq(s, b, n, variant, cdtype_name, rdtype_name,
+                           interpret, vma)
 
     def fwd_call(WU, bvec, ids, h0, c0):
         return pl.pallas_call(
@@ -460,9 +471,9 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                 pl.BlockSpec((1, b, 4 * n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((s, b, n), rdtype),
-                jax.ShapeDtypeStruct((s, b, n), rdtype),
-                jax.ShapeDtypeStruct((s, b, 4 * n), rdtype),
+                _sds((s, b, n), rdtype, vma),
+                _sds((s, b, n), rdtype, vma),
+                _sds((s, b, 4 * n), rdtype, vma),
             ],
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),
@@ -521,10 +532,10 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((m + n, 4 * n), f32),
-                jax.ShapeDtypeStruct((1, 4 * n), f32),
-                jax.ShapeDtypeStruct((b, n), f32),
-                jax.ShapeDtypeStruct((b, n), f32),
+                _sds((m + n, 4 * n), f32, vma),
+                _sds((1, 4 * n), f32, vma),
+                _sds((b, n), f32, vma),
+                _sds((b, n), f32, vma),
             ],
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),
@@ -609,7 +620,8 @@ def embed_supported(cfg: ModelConfig, batch: int) -> bool:
     return (m + n) * 4 * n * bytes_per <= 12 * 1024 * 1024
 
 
-def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None):
+def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None,
+                        vma_axis=None):
     """Layer-0 recurrence with the embedding fused into the kernel.
     ids: (S, B) int32. Same return contract as pallas_scan_layer.
     ``n_split``: batch half-blocking for epilogue/MXU overlap (default from
@@ -625,7 +637,7 @@ def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None):
     fn = _make_fused_embed_seq(
         s, b, n, m, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
-        _use_interpret(), n_split,
+        _use_interpret(), n_split, (vma_axis,) if vma_axis else (),
     )
     WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
     bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .pallas_cell import _cell_fwd, _gate_bwd, _prec, _use_interpret
+from .pallas_cell import _cell_fwd, _gate_bwd, _prec, _use_interpret, _sds
 
 VMEM_BUDGET = 14 * 1024 * 1024   # leave ~2 MB of the ~16 MB VMEM for Mosaic
 
@@ -186,7 +186,8 @@ def pick_tile_width(n: int, b: int, cdtype_name: str, rdtype_name: str) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
-                    cdtype_name: str, rdtype_name: str, interpret: bool):
+                    cdtype_name: str, rdtype_name: str, interpret: bool,
+                    vma: tuple = ()):
     """Build the custom-VJP tiled sequence op for static (S, B, N, wt)."""
     cdtype = jnp.dtype(cdtype_name).type
     rdtype = jnp.dtype(rdtype_name).type
@@ -223,9 +224,9 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
                 pl.BlockSpec((1, 1, b, wt), lambda t, k: (t, k, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((s, b, n), rdtype),
-                jax.ShapeDtypeStruct((s, b, n), rdtype),
-                jax.ShapeDtypeStruct((s, k_tiles, b, wt), rdtype),
+                _sds((s, b, n), rdtype, vma),
+                _sds((s, b, n), rdtype, vma),
+                _sds((s, k_tiles, b, wt), rdtype, vma),
             ],
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),           # h carry
@@ -273,8 +274,8 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
                 pl.BlockSpec((b, n), lambda j, k: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((s, k_tiles, b, wt), xdtype),
-                jax.ShapeDtypeStruct((b, n), f32),
+                _sds((s, k_tiles, b, wt), xdtype, vma),
+                _sds((b, n), f32, vma),
             ],
             scratch_shapes=[
                 pltpu.VMEM((k_tiles, b, wt), rdtype),  # gate row
@@ -430,7 +431,7 @@ def pick_tile_width_embed(n: int, m: int, b: int, cdtype_name: str,
 @functools.lru_cache(maxsize=64)
 def _make_tiled_embed_seq(s: int, b: int, n: int, m: int, wt: int,
                           variant: str, cdtype_name: str, rdtype_name: str,
-                          interpret: bool):
+                          interpret: bool, vma: tuple = ()):
     """custom-VJP tiled layer-0 sequence op: (WU, b, ids, h0, c0) ->
     (h_seq, (hT, cT)). WU is the stacked (M+N, 4N) weight at the compute
     dtype; backward reuses the shared tiled reverse-time kernel with
@@ -441,7 +442,7 @@ def _make_tiled_embed_seq(s: int, b: int, n: int, m: int, wt: int,
     f32 = jnp.float32
     k_tiles = 4 * n // wt
     base = _make_tiled_seq(s, b, n, wt, variant, cdtype_name, rdtype_name,
-                           interpret)
+                           interpret, vma)
 
     def fwd_call(WU, bvec, ids, h0, c0):
         WU_t = WU.reshape(m + n, k_tiles, wt).transpose(1, 0, 2)
@@ -464,9 +465,9 @@ def _make_tiled_embed_seq(s: int, b: int, n: int, m: int, wt: int,
                 pl.BlockSpec((1, 1, b, wt), lambda t, k: (t, k, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((s, b, n), rdtype),
-                jax.ShapeDtypeStruct((s, b, n), rdtype),
-                jax.ShapeDtypeStruct((s, k_tiles, b, wt), rdtype),
+                _sds((s, b, n), rdtype, vma),
+                _sds((s, b, n), rdtype, vma),
+                _sds((s, k_tiles, b, wt), rdtype, vma),
             ],
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),
@@ -546,7 +547,8 @@ def tiled_embed_supported(cfg: ModelConfig, batch: int) -> bool:
     ) > 0
 
 
-def pallas_tiled_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, wt=None):
+def pallas_tiled_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, wt=None,
+                              vma_axis=None):
     """Layer-0 recurrence with the embedding fused into the tiled kernel.
     Same contract as ``pallas_cell.pallas_embed_layer0``."""
     s, b = ids.shape
@@ -560,7 +562,7 @@ def pallas_tiled_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, wt=None):
         raise ValueError(f"no embed tile width fits VMEM for N={n}, B={b}")
     fn = _make_tiled_embed_seq(
         s, b, n, m, wt, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
-        rdtype_name, _use_interpret(),
+        rdtype_name, _use_interpret(), (vma_axis,) if vma_axis else (),
     )
     WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
     bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)
@@ -571,7 +573,8 @@ def pallas_tiled_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, wt=None):
     return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))
 
 
-def pallas_tiled_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, wt=None):
+def pallas_tiled_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, wt=None,
+                            vma_axis=None):
     """Drop-in ``cell_fn`` for ``models.lstm.forward`` — same contract as
     ``pallas_cell.pallas_scan_layer`` but with U streamed in tiles."""
     s, b, _ = xw.shape
@@ -583,7 +586,7 @@ def pallas_tiled_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, wt=None):
         raise ValueError(f"no tile width fits VMEM for N={n}, B={b}")
     fn = _make_tiled_seq(
         s, b, n, wt, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
-        rdtype_name, _use_interpret(),
+        rdtype_name, _use_interpret(), (vma_axis,) if vma_axis else (),
     )
     xdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     h_seq, (hT, cT) = fn(
