@@ -81,8 +81,10 @@ def _add_data_args(p: argparse.ArgumentParser):
 def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--lr", type=float, default=None,
                    help="default auto: 0.1 below hidden 512 (the reference's "
-                        "lr, root lstm.cc:59), 0.02 at hidden >= 512 where "
-                        "lr=0.1 stalls (measured sweep, docs/PERFORMANCE.md)")
+                        "lr, root lstm.cc:59); 0.02 at hidden >= 512 where "
+                        "lr=0.1 stalls; 0.005 for stacks or hidden >= 1024 "
+                        "where 0.02 stalls too (measured sweeps, "
+                        "docs/PERFORMANCE.md)")
     p.add_argument("--adagrad-eps", type=float, default=1e-10)
     p.add_argument("--clip-norm", type=float, default=None)
     p.add_argument("--warmup", type=int, default=None,
@@ -154,7 +156,18 @@ def _configs(args):
     )
     # quality defaults (VERDICT r1): resolve auto lr/warmup so the documented
     # commands converge out of the box (measured sweep, docs/PERFORMANCE.md)
-    lr = args.lr if args.lr is not None else (0.1 if args.hidden < 512 else 0.02)
+    # measured Adagrad stability ladder (docs/PERFORMANCE.md lr sweeps):
+    # 0.1 at the reference's widths, 0.02 at H=512 single-layer, 0.005 for
+    # stacks or H >= 1024 (0.02 stalls a 3x1024 at ~4.3 bpc; 0.005 reaches
+    # 1.99 in 8k steps on bible.txt)
+    if args.lr is not None:
+        lr = args.lr
+    elif args.hidden < 512:
+        lr = 0.1
+    elif args.hidden < 1024 and args.layers == 1:
+        lr = 0.02
+    else:
+        lr = 0.005
     if args.warmup is not None:
         warmup = args.warmup
     elif getattr(args, "epochs", None):

@@ -27,6 +27,11 @@ def test_parser_train_defaults():
     small = parse(["train", "--data", "x.txt", "--hidden", "128", "--steps", "300"])
     _, _, tsmall = _configs(small)
     assert tsmall.lr == 0.1 and tsmall.warmup_steps == 30
+    # stacks / hidden >= 1024 resolve to the deep-net stable lr
+    deep = parse(["train", "--data", "x.txt", "--hidden", "1024", "--layers", "3"])
+    assert _configs(deep)[2].lr == 0.005
+    stack = parse(["train", "--data", "x.txt", "--hidden", "512", "--layers", "2"])
+    assert _configs(stack)[2].lr == 0.005
 
 
 def test_parser_overrides():
