@@ -404,6 +404,16 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype,
     dg = jnp.concatenate(dgs, axis=-1)
     dg_c = dg.astype(cdtype)
 
+    # issue the CRITICAL-PATH GEMM first: the next (earlier) timestep's gate
+    # backward needs dh, while the weight-grad accumulations below feed
+    # nothing until the kernel ends
+    dh_s[:] = jax.lax.dot_general(
+        dg_c, U_ref[:].astype(cdtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(cdtype),
+    )
+    dc_s[:] = dc_next
+
     # weight-gradient accumulation (contraction over the B sublanes)
     b_sz = dh_s.shape[0]
     ids_t = ids_ref[s - 1 - t]                             # (B,)
@@ -425,13 +435,6 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype,
         preferred_element_type=jnp.float32, precision=_prec(cdtype),
     )
     db_ref[:] += jnp.sum(dg, axis=0, keepdims=True)
-
-    dh_s[:] = jax.lax.dot_general(
-        dg_c, U_ref[:].astype(cdtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_prec(cdtype),
-    )
-    dc_s[:] = dc_next
     dh0_ref[:] = dh_s[:]
     dc0_ref[:] = dc_s[:]
 
