@@ -110,8 +110,9 @@ def _fwd_kernel(nd, ndev, seq, variant, cdtype, pdtype, axis,
                     dst_ref=hbuf.at[q, :, pl.ds(me * nd, nd)],
                     send_sem=send_sems.at[k - 1],
                     recv_sem=recv_sems.at[k - 1],
-                    device_id=peer,
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    # named-axis (MESH) addressing — see the bwd kernel note
+                    device_id={axis: peer},
+                    device_id_type=pltpu.DeviceIdType.MESH,
                 ))
             for c in copies:
                 c.start()
@@ -164,8 +165,11 @@ def _bwd_kernel(nd, ndev, seq, variant, cdtype, axis,
                 dst_ref=rbuf.at[w, me],
                 send_sem=send_sems.at[k - 1],
                 recv_sem=recv_sems.at[k - 1],
-                device_id=peer,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
+                # named-axis (MESH) addressing: peer on the model axis, same
+                # coordinates on any other mesh axes — correct on 2-D
+                # (data x model) meshes, not just a 1-D TP mesh
+                device_id={axis: peer},
+                device_id_type=pltpu.DeviceIdType.MESH,
             ))
         for c in copies:
             c.start()
