@@ -188,14 +188,18 @@ def _bwd_kernel(nd, ndev, seq, variant, cdtype, axis,
 @functools.lru_cache(maxsize=32)
 def _make_tp_seq(b: int, n: int, nd: int, seq: int, ndev: int, variant: str,
                  cdtype_name: str, rdtype_name: str, pdtype_name: str,
-                 axis: str, interpret_kind: str):
+                 axis: str, interpret_kind: str, vma_key: tuple = ()):
     cdtype = jnp.dtype(cdtype_name).type
     rdtype = jnp.dtype(rdtype_name)
     pdtype = jnp.dtype(pdtype_name)
     f32 = jnp.float32
+    # out_shape vma annotation: the union of the inputs' varying axes at the
+    # call site (derived by tp_seq_lstm via jax.typeof) — {"model"} on a 1-D
+    # TP mesh, {"data", "model"} on the 2-D mesh, empty under
+    # check_vma=False (the interpret-mode test harness)
+    vma = frozenset(vma_key)
     if interpret_kind == "none":
         interpret = False
-        vma = frozenset({axis}) if ndev > 1 else frozenset()
     else:
         # 'eager' DMA execution: the default 'on_wait' mode flakily reorders
         # remote-DMA payload movement relative to the semaphore waits at
@@ -207,7 +211,6 @@ def _make_tp_seq(b: int, n: int, nd: int, seq: int, ndev: int, variant: str,
             detect_races=(interpret_kind == "races"),
             dma_execution_mode="eager",
         )
-        vma = frozenset()
 
     def sds(shape, dtype):
         return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
@@ -338,10 +341,14 @@ def tp_seq_lstm(U, xw, h0_d, c0_d, cfg: ModelConfig, axis: str,
     nd = c0_d.shape[-1]
     if interpret_kind is None:
         interpret_kind = "interpret" if _use_interpret() else "none"
+    vma = frozenset()
+    for v in (U, xw, h0_d, c0_d):
+        vma |= getattr(jax.typeof(v), "vma", frozenset()) or frozenset()
     fn = _make_tp_seq(
         b, n, nd, s, ndev, cfg.cell_variant,
         jnp.dtype(cfg.cdtype).name, jnp.dtype(cfg.residual_dtype).name,
         jnp.dtype(cfg.pdtype).name, axis, interpret_kind,
+        tuple(sorted(vma)),
     )
     # U enters the kernel pre-cast to compute dtype: the VMEM block is then
     # csz-sized (what tp_seq_supported budgets) and the per-step

@@ -48,6 +48,8 @@ def make_dp_tp_superstep(
     corpus: jax.Array,
     mesh: Mesh,
     donate: bool = True,
+    backend: str = "xla",
+    check_vma: bool = True,
 ):
     """Full training superstep over a ("data", "model") mesh. Expects a
     TrainState with TP-permuted params (see ``shard_dp_tp_state``)."""
@@ -62,7 +64,9 @@ def make_dp_tp_superstep(
         x, t = corpus_mod.make_windows(corpus, state.positions, seq)
 
         def loss_of(p):
-            loss, aux = tp_mod.tp_loss_fn(p, x, t, state.h, state.c, mcfg, "model")
+            loss, aux = tp_mod.tp_loss_fn(
+                p, x, t, state.h, state.c, mcfg, "model", backend
+            )
             # the global objective: mean over every data shard — its
             # collective transpose yields globally-averaged gradients
             return jax.lax.pmean(loss, "data"), aux
@@ -131,6 +135,7 @@ def make_dp_tp_superstep(
         mesh=mesh,
         in_specs=(state_specs,),
         out_specs=(state_specs, metrics_specs),
+        check_vma=check_vma,
     )
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 

@@ -313,8 +313,20 @@ class Trainer:
                 mesh,
                 mcfg,
             )
+            # per-data-shard batch feeds the kernel; prefer the sequence-
+            # level TP kernel on the model axis when it fits (MESH-relative
+            # DMA addressing makes it 2-D-mesh correct, ops/pallas_tp_seq.py)
+            from ..ops.pallas_tp_seq import tp_seq_supported as _seq_ok
+
+            local_b = dcfg.batch // mesh.shape["data"]
+            dp_tp_backend = (
+                "pallas_seq"
+                if cell_fn is not None and _seq_ok(mcfg, local_b, n_model)
+                and os.environ.get("EIGEN_LSTM_TP_SEQ", "1") != "0"
+                else "xla"
+            )
             self.superstep = dp_tp_mod.make_dp_tp_superstep(
-                mcfg, dcfg, tcfg, self.corpus, mesh
+                mcfg, dcfg, tcfg, self.corpus, mesh, backend=dp_tp_backend
             )
         elif mesh is not None and parallel == "sp":
             from ..parallel import sp as sp_mod

@@ -252,3 +252,40 @@ def test_tp_seq_supported_gate():
     assert not seq_mod.tp_seq_supported(
         ModelConfig(hidden=2048, compute_dtype="bfloat16"), 128, 4
     )
+
+
+def test_tp_seq_on_2d_mesh_matches_xla_backend():
+    """The kernel's MESH-relative DMA addressing on the (data, model) mesh:
+    a full DPxTP training superstep with backend=pallas_seq must track the
+    XLA backend exactly under the identical unchecked harness."""
+    from eigen_lstm_tpu import DataConfig, TrainConfig
+    from eigen_lstm_tpu.parallel import dp_tp as dp_tp_mod
+    from eigen_lstm_tpu.train.trainer import TrainState, Trainer
+
+    cfg = ModelConfig(vocab=32, hidden=16, num_layers=1, loss_mode="all", seed=0)
+    dcfg = DataConfig(batch=8, seq=6, train_percent=1.0)
+    tcfg = TrainConfig(lr=0.1, superstep=2, eval_every_s=1e9)
+    data = np.tile(np.arange(31, dtype=np.uint8) + 60, 500)
+    tr = Trainer(cfg, dcfg, tcfg, data, None)
+
+    mesh2d = dp_tp_mod.make_mesh_2d(2, 4)
+    state0 = TrainState(
+        tp_mod.permute_params_for_tp(tr.state.params, 4),
+        tp_mod.permute_params_for_tp(tr.state.m, 4),
+        tr.state.h, tr.state.c, tr.state.positions, tr.state.step, tr.state.key,
+    )
+    outs = {}
+    for backend in ("pallas_seq", "xla"):
+        step = dp_tp_mod.make_dp_tp_superstep(
+            cfg, dcfg, tcfg, tr.corpus, mesh2d, donate=False,
+            backend=backend, check_vma=False,
+        )
+        outs[backend] = step(dp_tp_mod.shard_dp_tp_state(state0, mesh2d, cfg))
+    (s_k, m_k), (s_x, m_x) = outs["pallas_seq"], outs["xla"]
+    np.testing.assert_allclose(
+        float(m_k["bits_mean"]), float(m_x["bits_mean"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_x.params), jax.tree_util.tree_leaves(s_k.params)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
