@@ -232,14 +232,20 @@ def _make_trainer(args):
     n_sp = getattr(args, "sp", None)
     if n_pp and (n_dp or n_tp or n_sp):
         raise SystemExit("--pp cannot be combined with --dp/--tp/--sp")
-    if n_sp and (n_dp or n_tp):
-        raise SystemExit("--sp cannot be combined with --dp/--tp")
+    if n_sp and n_tp:
+        raise SystemExit("--sp cannot be combined with --tp")
     if n_dp and n_tp:
         from .parallel.dp_tp import make_mesh_2d
 
         mesh = make_mesh_2d(n_dp, n_tp)
         parallel = "dp_tp"
         print(f"2-D mesh: {n_dp} data x {n_tp} model devices", flush=True)
+    elif n_dp and n_sp:
+        from .parallel.sp import make_mesh_dp_sp
+
+        mesh = make_mesh_dp_sp(n_dp, n_sp)
+        parallel = "dp_sp"
+        print(f"2-D mesh: {n_dp} data x {n_sp} seq devices", flush=True)
     elif n_dp:
         from .parallel.mesh import make_mesh
 

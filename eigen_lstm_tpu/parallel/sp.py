@@ -44,9 +44,10 @@ from ..models import lstm as model
 
 
 def _varying(x, axis):
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
     if hasattr(jax.lax, "pcast"):
-        return jax.lax.pcast(x, (axis,), to="varying")
-    return jax.lax.pvary(x, (axis,))
+        return jax.lax.pcast(x, axes, to="varying")
+    return jax.lax.pvary(x, axes)
 
 
 def _cell_fn_with_vma(cell_fn, axis: str):
@@ -146,9 +147,16 @@ def sp_loss_fn(
             out_c = jax.lax.ppermute(out_c, axis, perm)
         return (out_h, out_c, bits_acc, hT_acc, cT_acc), None
 
-    buf0 = _varying(jnp.zeros((nl, bs, n), cfg.pdtype), axis)
-    bits0 = _varying(jnp.zeros((), cfg.adtype), axis)
-    acc0 = _varying(jnp.zeros((nl, b_, n), cfg.pdtype), axis)
+    # the scan carries must be varying over every axis the inputs vary on
+    # (the seq axis always; plus e.g. the data axis under the 2-D dp x sp
+    # mesh where ids/h0 are batch-sharded)
+    vma_axes = {axis}
+    for v in (ids, targets, h0, c0):
+        vma_axes |= getattr(jax.typeof(v), "vma", frozenset()) or frozenset()
+    vma_axes = tuple(sorted(vma_axes))
+    buf0 = _varying(jnp.zeros((nl, bs, n), cfg.pdtype), vma_axes)
+    bits0 = _varying(jnp.zeros((), cfg.adtype), vma_axes)
+    acc0 = _varying(jnp.zeros((nl, b_, n), cfg.pdtype), vma_axes)
     (_, _, bits_acc, hT_acc, cT_acc), _ = jax.lax.scan(
         tick,
         (buf0, buf0, bits0, acc0, acc0),
@@ -293,6 +301,123 @@ def shard_sp_state(state, mesh: Mesh, axis: str = "seq"):
         h=put(state.h),
         c=put(state.c),
         positions=put(state.positions),
+        step=put(state.step),
+        key=put(state.key),
+    )
+
+
+def make_dp_sp_superstep(
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    tcfg: TrainConfig,
+    corpus: jax.Array,
+    mesh: Mesh,
+    data_axis: str = "data",
+    seq_axis: str = "seq",
+    cell_fn=None,
+    donate: bool = True,
+):
+    """2-D (data x seq) composition: the global batch is sharded over the
+    data axis (each shard owns its stream cursors and recurrent state) and
+    each data shard pipelines its BPTT window over the seq axis exactly as
+    the 1-D SP path does. Params stay replicated everywhere; gradients are
+    the seq-axis psum of pipeline-segment contributions, pmean'd over data
+    (the DP average). Mirrors make_dp_tp_superstep's structure; exactness vs
+    the single-device trainer is gated by tests/test_sp.py."""
+    from ..data import corpus as corpus_mod
+    from ..train.trainer import TrainState, _make_inner, _scan_metrics
+
+    n_data = mesh.shape[data_axis]
+    n_seq = mesh.shape[seq_axis]
+    length = int(corpus.shape[0])
+    seq = dcfg.seq
+    n_chunks = tcfg.pp_chunks
+    if dcfg.batch % n_data != 0:
+        raise ValueError(f"batch {dcfg.batch} not divisible by {n_data} data shards")
+    local_b = dcfg.batch // n_data
+    if seq % n_seq != 0:
+        raise ValueError(f"seq {seq} not divisible by {n_seq} seq devices")
+    if local_b % n_chunks != 0:
+        raise ValueError(
+            f"per-shard batch {local_b} not divisible by pp_chunks {n_chunks}"
+        )
+
+    cell_fn = _cell_fn_with_vma(cell_fn, seq_axis)
+
+    def window_fn(state, _):
+        return corpus_mod.make_windows(corpus, state.positions, seq)
+
+    def loss_grad_fn(params, x, t, h, c):
+        def loss_of(p):
+            return sp_loss_fn(p, x, t, h, c, mcfg, n_chunks, seq_axis, cell_fn)
+
+        # params enter varying on BOTH axes: their cotangents pick up the
+        # data axis from the batch-sharded inputs, and the seq axis from the
+        # pipeline segments
+        params_v = jax.tree_util.tree_map(
+            lambda p: _varying(p, (data_axis, seq_axis)), params
+        )
+        (loss, (h2, c2, bits)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(params_v)
+        # seq-axis psum totals the pipeline segments; data-axis pmean is the
+        # DP average over batch shards (cursors/state stay shard-local)
+        grads = jax.lax.pmean(jax.lax.psum(grads, seq_axis), data_axis)
+        bits = jax.lax.pmean(bits, data_axis)
+        loss = jax.lax.pmean(loss, data_axis)
+        return (loss, ((h2, c2), bits)), grads
+
+    inner = _make_inner(
+        mcfg, dcfg, tcfg, length, cell_fn, window_fn, loss_grad_fn,
+        reset_fold_axes=(data_axis,),
+    )
+
+    def local_superstep(state: TrainState):
+        state, (bits, gnorms) = jax.lax.scan(
+            inner, state, None, length=tcfg.superstep
+        )
+        return state, _scan_metrics(bits, gnorms)
+
+    repl = jax.tree_util.tree_map(
+        lambda _: P(), jax.eval_shape(lambda: model.init_params(mcfg))
+    )
+    state_specs = TrainState(
+        params=repl, m=repl,
+        h=P(None, data_axis, None), c=P(None, data_axis, None),
+        positions=P(data_axis), step=P(), key=P(),
+    )
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    mapped = jax.shard_map(
+        local_superstep,
+        mesh=mesh,
+        in_specs=(state_specs,),
+        out_specs=(state_specs, metrics_specs),
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def make_mesh_dp_sp(n_data: int, n_seq: int, devices=None) -> Mesh:
+    import numpy as np
+
+    devs = list(devices) if devices is not None else jax.devices()
+    need = n_data * n_seq
+    if need > len(devs):
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:need]).reshape(n_data, n_seq), ("data", "seq"))
+
+
+def shard_dp_sp_state(state, mesh: Mesh, data_axis: str = "data"):
+    """Params/m replicated; stream state and cursors sharded over data."""
+    from ..train.trainer import TrainState
+
+    repl = NamedSharding(mesh, P())
+    put = lambda x, sp=P(): jax.device_put(x, NamedSharding(mesh, sp))
+    return TrainState(
+        params=jax.tree_util.tree_map(lambda x: put(x), state.params),
+        m=jax.tree_util.tree_map(lambda x: put(x), state.m),
+        h=put(state.h, P(None, data_axis, None)),
+        c=put(state.c, P(None, data_axis, None)),
+        positions=put(state.positions, P(data_axis)),
         step=put(state.step),
         key=put(state.key),
     )

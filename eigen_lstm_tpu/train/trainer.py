@@ -58,12 +58,16 @@ def _make_inner(
     cell_fn,
     window_fn,
     loss_grad_fn=None,
+    reset_fold_axes: tuple = (),
 ):
     """One training step as a ``lax.scan`` body. ``window_fn(state, xs)``
     supplies the (x, t) int32 windows — gathered in-jit from a resident
     corpus, or taken from a host-streamed per-step batch (data/streaming.py).
     ``loss_grad_fn(params, x, t, h, c)`` overrides the model/grad evaluation
     (sequence pipelining substitutes its time-sharded loss, parallel/sp.py).
+    ``reset_fold_axes``: mesh axes whose index is folded into the stream-
+    reset RNG so shards holding different batch slices draw decorrelated
+    reset noise (the DP convention, parallel/dp.py).
     Everything else (BPTT, non-finite guard, cursor advance, stream carry,
     Adagrad) is shared so every data/parallel path using this builder is
     trajectory-identical."""
@@ -99,6 +103,8 @@ def _make_inner(
             key, sub = jax.random.split(state.key)
             mask = wrapped[None, :, None]
             if dcfg.reset_std > 0.0:
+                for ax in reset_fold_axes:
+                    sub = jax.random.fold_in(sub, jax.lax.axis_index(ax))
                 kh, kc = jax.random.split(sub)
                 rh = jax.random.normal(kh, h2.shape, h2.dtype) * dcfg.reset_std
                 rc = jax.random.normal(kc, c2.shape, c2.dtype) * dcfg.reset_std
@@ -337,6 +343,13 @@ class Trainer:
             self._shard = lambda s: sp_mod.shard_sp_state(s, mesh, axis)
             self.superstep = sp_mod.make_sp_superstep(
                 mcfg, dcfg, tcfg, self.corpus, mesh, axis, cell_fn=cell_fn
+            )
+        elif mesh is not None and parallel == "dp_sp":
+            from ..parallel import sp as sp_mod
+
+            self._shard = lambda s: sp_mod.shard_dp_sp_state(s, mesh)
+            self.superstep = sp_mod.make_dp_sp_superstep(
+                mcfg, dcfg, tcfg, self.corpus, mesh, cell_fn=cell_fn
             )
         elif mesh is not None and parallel == "pp":
             from ..parallel import pp as pp_mod

@@ -119,3 +119,57 @@ def test_sp_rejects_bad_shapes():
     mesh = mesh_mod.make_mesh(4, axis="seq")
     with pytest.raises(ValueError, match="not divisible"):
         sp_mod.make_sp_superstep(mcfg, dcfg, tcfg, jnp.asarray(data), mesh)
+
+
+def test_dp_sp_training_matches_single_device():
+    """2-D (data x seq) composition: batch sharded over data, window
+    pipelined over seq — full trainer trajectory must match the
+    single-device path (reset_std=0 so the per-shard RNG folds are inert)."""
+    from eigen_lstm_tpu.train.trainer import TrainState, make_superstep
+
+    mcfg = ModelConfig(vocab=256, hidden=16, num_layers=1, loss_mode="all", seed=3)
+    dcfg = DataConfig(path="", train_percent=1.0, batch=8, seq=8)
+    tcfg = TrainConfig(lr=0.1, superstep=3, steps=6, eval_every_s=1e9,
+                       seed=7, pp_chunks=2)
+    rng = np.random.RandomState(0)
+    data = rng.randint(0, 256, size=197, dtype=np.uint8)
+
+    tr = Trainer(mcfg, dcfg, tcfg, data, None)
+    single = make_superstep(mcfg, dcfg, tcfg, tr.corpus, donate=False)
+    s_ref, m_ref = single(tr.state)
+
+    mesh = sp_mod.make_mesh_dp_sp(2, 4)
+    step = sp_mod.make_dp_sp_superstep(
+        mcfg, dcfg, tcfg, tr.corpus, mesh, donate=False
+    )
+    s_2d, m_2d = step(sp_mod.shard_dp_sp_state(tr.state, mesh))
+
+    np.testing.assert_allclose(
+        float(m_ref["bits_mean"]), float(m_2d["bits_mean"]), rtol=1e-5
+    )
+    # the seq psum + data pmean reassociate the batch mean the single
+    # device computes in one reduction; tolerances are accumulation noise
+    # compounded over the superstep's Adagrad updates
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref.params),
+        jax.tree_util.tree_leaves(s_2d.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=3e-4
+        )
+    np.testing.assert_array_equal(
+        np.asarray(s_ref.positions), np.asarray(s_2d.positions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_ref.h), np.asarray(s_2d.h), rtol=1e-3, atol=3e-4
+    )
+
+
+def test_dp_sp_rejects_bad_shapes():
+    mcfg = ModelConfig(vocab=32, hidden=16, num_layers=1, seed=0)
+    dcfg = DataConfig(path="", train_percent=1.0, batch=6, seq=8)
+    tcfg = TrainConfig(superstep=2, pp_chunks=2)
+    data = np.arange(64, dtype=np.uint8)
+    mesh = sp_mod.make_mesh_dp_sp(4, 2)
+    with pytest.raises(ValueError, match="not divisible"):
+        sp_mod.make_dp_sp_superstep(mcfg, dcfg, tcfg, jnp.asarray(data), mesh)
