@@ -44,10 +44,21 @@ def _use_interpret() -> bool:
 def _sds(shape, dtype, vma):
     """ShapeDtypeStruct with an optional varying-manual-axes annotation —
     required when a kernel lowers inside a vma-checked ``shard_map`` (the
-    sequence-pipelining path runs these kernels per time segment)."""
+    sequence-pipelining paths run these kernels per time segment)."""
     if vma:
         return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
     return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _vma_of(*vals) -> tuple:
+    """Union of the inputs' varying manual axes at trace time — the vma the
+    kernel outputs must carry. Empty outside shard_map / under
+    check_vma=False; {seq} inside 1-D sequence pipelining; {data, seq} on
+    the 2-D dp x sp mesh (derived, so callers need no axis plumbing)."""
+    vma = frozenset()
+    for v in vals:
+        vma |= getattr(jax.typeof(v), "vma", frozenset()) or frozenset()
+    return tuple(sorted(vma))
 
 
 def _prec(cdtype):
@@ -286,7 +297,7 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
     return fused_seq
 
 
-def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, vma_axis=None):
+def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
     """Drop-in ``cell_fn`` for ``models.lstm.forward``: same signature and
     semantics as the XLA ``_scan_layer`` (bias pre-folded into xw).
 
@@ -297,7 +308,7 @@ def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, vma_axis=None):
     fn = _make_fused_seq(
         s, b, n, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
-        _use_interpret(), (vma_axis,) if vma_axis else (),
+        _use_interpret(), _vma_of(layer.U, xw, h0, c0),
     )
     xdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     h_seq, (hT, cT) = fn(
@@ -623,8 +634,7 @@ def embed_supported(cfg: ModelConfig, batch: int) -> bool:
     return (m + n) * 4 * n * bytes_per <= 12 * 1024 * 1024
 
 
-def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None,
-                        vma_axis=None):
+def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None):
     """Layer-0 recurrence with the embedding fused into the kernel.
     ids: (S, B) int32. Same return contract as pallas_scan_layer.
     ``n_split``: batch half-blocking for epilogue/MXU overlap (default from
@@ -640,7 +650,7 @@ def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None,
     fn = _make_fused_embed_seq(
         s, b, n, m, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
-        _use_interpret(), n_split, (vma_axis,) if vma_axis else (),
+        _use_interpret(), n_split, _vma_of(layer.W, layer.U, ids, h0, c0),
     )
     WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
     bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)

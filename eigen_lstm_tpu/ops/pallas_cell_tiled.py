@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .pallas_cell import _cell_fwd, _gate_bwd, _prec, _use_interpret, _sds
+from .pallas_cell import _cell_fwd, _gate_bwd, _prec, _use_interpret, _sds, _vma_of
 
 VMEM_BUDGET = 14 * 1024 * 1024   # leave ~2 MB of the ~16 MB VMEM for Mosaic
 
@@ -547,8 +547,7 @@ def tiled_embed_supported(cfg: ModelConfig, batch: int) -> bool:
     ) > 0
 
 
-def pallas_tiled_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, wt=None,
-                              vma_axis=None):
+def pallas_tiled_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, wt=None):
     """Layer-0 recurrence with the embedding fused into the tiled kernel.
     Same contract as ``pallas_cell.pallas_embed_layer0``."""
     s, b = ids.shape
@@ -562,7 +561,7 @@ def pallas_tiled_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, wt=None,
         raise ValueError(f"no embed tile width fits VMEM for N={n}, B={b}")
     fn = _make_tiled_embed_seq(
         s, b, n, m, wt, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
-        rdtype_name, _use_interpret(), (vma_axis,) if vma_axis else (),
+        rdtype_name, _use_interpret(), _vma_of(layer.W, layer.U, ids, h0, c0),
     )
     WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
     bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)
@@ -573,8 +572,7 @@ def pallas_tiled_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, wt=None,
     return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))
 
 
-def pallas_tiled_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, wt=None,
-                            vma_axis=None):
+def pallas_tiled_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, wt=None):
     """Drop-in ``cell_fn`` for ``models.lstm.forward`` — same contract as
     ``pallas_cell.pallas_scan_layer`` but with U streamed in tiles."""
     s, b, _ = xw.shape
@@ -586,7 +584,7 @@ def pallas_tiled_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, wt=None,
         raise ValueError(f"no tile width fits VMEM for N={n}, B={b}")
     fn = _make_tiled_seq(
         s, b, n, wt, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
-        rdtype_name, _use_interpret(), (vma_axis,) if vma_axis else (),
+        rdtype_name, _use_interpret(), _vma_of(layer.U, xw, h0, c0),
     )
     xdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     h_seq, (hT, cT) = fn(

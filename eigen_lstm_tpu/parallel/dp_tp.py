@@ -29,16 +29,15 @@ from ..train.trainer import TrainState
 from . import tp as tp_mod
 
 
-def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
+def make_mesh_2d(n_data: int, n_model: int, devices=None,
+                 axis_names=("data", "model")) -> Mesh:
     import numpy as np
 
     devs = list(devices) if devices is not None else jax.devices()
     need = n_data * n_model
     if need > len(devs):
         raise ValueError(f"need {need} devices, have {len(devs)}")
-    return Mesh(
-        np.asarray(devs[:need]).reshape(n_data, n_model), ("data", "model")
-    )
+    return Mesh(np.asarray(devs[:need]).reshape(n_data, n_model), axis_names)
 
 
 def make_dp_tp_superstep(

@@ -50,22 +50,6 @@ def _varying(x, axis):
     return jax.lax.pvary(x, axes)
 
 
-def _cell_fn_with_vma(cell_fn, axis: str):
-    """Rebind a Pallas ``cell_fn`` for execution inside the vma-checked
-    seq-axis shard_map: kernel out_shapes must carry the varying-axes
-    annotation (ops/pallas_cell.py ``_sds``). No-op for the XLA scan."""
-    if cell_fn is None:
-        return None
-    import functools
-
-    wrapped = functools.partial(cell_fn, vma_axis=axis)
-    embed = getattr(cell_fn, "embed_layer0", None)
-    if embed is not None:
-        wrapped.embed_layer0 = functools.partial(embed, vma_axis=axis)
-    # the fused softmax-CE head is not used by sp_loss_fn (logits_from_h)
-    return wrapped
-
-
 def sp_loss_fn(
     params: model.LSTMParams,   # replicated
     ids: jax.Array,             # (S, B) replicated
@@ -179,7 +163,6 @@ def make_sp_loss_and_grad(
 ):
     """jitted ((loss, bits), grads) over the seq mesh — everything
     replicated; grads come back reduced by the vma transpose."""
-    cell_fn = _cell_fn_with_vma(cell_fn, axis)
     repl = jax.tree_util.tree_map(
         lambda _: P(), jax.eval_shape(lambda: model.init_params(mcfg))
     )
@@ -240,7 +223,6 @@ def make_sp_superstep(
             f"batch {dcfg.batch} not divisible by pp_chunks {n_chunks}"
         )
 
-    cell_fn = _cell_fn_with_vma(cell_fn, axis)
 
     def window_fn(state, _):
         return corpus_mod.make_windows(corpus, state.positions, seq)
@@ -342,7 +324,6 @@ def make_dp_sp_superstep(
             f"per-shard batch {local_b} not divisible by pp_chunks {n_chunks}"
         )
 
-    cell_fn = _cell_fn_with_vma(cell_fn, seq_axis)
 
     def window_fn(state, _):
         return corpus_mod.make_windows(corpus, state.positions, seq)
@@ -397,13 +378,9 @@ def make_dp_sp_superstep(
 
 
 def make_mesh_dp_sp(n_data: int, n_seq: int, devices=None) -> Mesh:
-    import numpy as np
+    from .dp_tp import make_mesh_2d
 
-    devs = list(devices) if devices is not None else jax.devices()
-    need = n_data * n_seq
-    if need > len(devs):
-        raise ValueError(f"need {need} devices, have {len(devs)}")
-    return Mesh(np.asarray(devs[:need]).reshape(n_data, n_seq), ("data", "seq"))
+    return make_mesh_2d(n_data, n_seq, devices, ("data", "seq"))
 
 
 def shard_dp_sp_state(state, mesh: Mesh, data_axis: str = "data"):

@@ -191,6 +191,25 @@ def make_streamed_superstep(
     return jax.jit(superstep, donate_argnums=(0,) if donate else ())
 
 
+def _select_tp_backend(mcfg, batch, ndev, cell_fn, allow_per_step=True):
+    """One selection ladder for every TP-bearing mesh: prefer the
+    sequence-level kernel (U shard VMEM-resident, in-kernel ICI exchange —
+    ops/pallas_tp_seq.py; EIGEN_LSTM_TP_SEQ=0 opts out), else the fused
+    per-step kernel where allowed, else the XLA scan. ``batch`` is the
+    per-data-shard batch the kernel will actually see."""
+    if cell_fn is not None and os.environ.get("EIGEN_LSTM_TP_SEQ", "1") != "0":
+        from ..ops.pallas_tp_seq import tp_seq_supported
+
+        if tp_seq_supported(mcfg, batch, ndev):
+            return "pallas_seq"
+    if allow_per_step and cell_fn is not None:
+        from ..ops.pallas_tp_cell import tp_pallas_supported
+
+        if tp_pallas_supported(mcfg, batch, ndev):
+            return "pallas"
+    return "xla"
+
+
 class Trainer:
     """Host-side driver: owns the superstep, the timed eval/sample/checkpoint
     cadence, and the results table (reference L4/L5)."""
@@ -280,24 +299,7 @@ class Trainer:
                 mcfg,
                 axis,
             )
-            from ..ops.pallas_tp_cell import tp_pallas_supported
-            from ..ops.pallas_tp_seq import tp_seq_supported
-
-            # prefer the sequence-level kernel (U shard VMEM-resident for the
-            # whole window, in-kernel ICI h exchange) over the per-step one;
-            # EIGEN_LSTM_TP_SEQ=0 falls back (ops/pallas_tp_seq.py)
-            if (
-                cell_fn is not None
-                and tp_seq_supported(mcfg, dcfg.batch, ndev)
-                and os.environ.get("EIGEN_LSTM_TP_SEQ", "1") != "0"
-            ):
-                tp_backend = "pallas_seq"
-            elif cell_fn is not None and tp_pallas_supported(
-                mcfg, dcfg.batch, ndev
-            ):
-                tp_backend = "pallas"
-            else:
-                tp_backend = "xla"
+            tp_backend = _select_tp_backend(mcfg, dcfg.batch, ndev, cell_fn)
             self.superstep = tp_mod.make_tp_superstep(
                 mcfg, dcfg, tcfg, self.corpus, mesh, axis, backend=tp_backend
             )
@@ -319,17 +321,13 @@ class Trainer:
                 mesh,
                 mcfg,
             )
-            # per-data-shard batch feeds the kernel; prefer the sequence-
-            # level TP kernel on the model axis when it fits (MESH-relative
-            # DMA addressing makes it 2-D-mesh correct, ops/pallas_tp_seq.py)
-            from ..ops.pallas_tp_seq import tp_seq_supported as _seq_ok
-
-            local_b = dcfg.batch // mesh.shape["data"]
-            dp_tp_backend = (
-                "pallas_seq"
-                if cell_fn is not None and _seq_ok(mcfg, local_b, n_model)
-                and os.environ.get("EIGEN_LSTM_TP_SEQ", "1") != "0"
-                else "xla"
+            # per-data-shard batch feeds the kernel (MESH-relative DMA
+            # addressing makes the seq kernel 2-D-mesh correct); the fused
+            # per-step kernel is not in this ladder — it has no 2-D vma
+            # plumbing
+            dp_tp_backend = _select_tp_backend(
+                mcfg, dcfg.batch // mesh.shape["data"], n_model, cell_fn,
+                allow_per_step=False,
             )
             self.superstep = dp_tp_mod.make_dp_tp_superstep(
                 mcfg, dcfg, tcfg, self.corpus, mesh, backend=dp_tp_backend

@@ -5,6 +5,7 @@ training superstep including cursor wraps and randomized stream resets
 (state is replicated, so even the reset RNG stream matches bit-for-bit)."""
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -173,3 +174,38 @@ def test_dp_sp_rejects_bad_shapes():
     mesh = sp_mod.make_mesh_dp_sp(4, 2)
     with pytest.raises(ValueError, match="not divisible"):
         sp_mod.make_dp_sp_superstep(mcfg, dcfg, tcfg, jnp.asarray(data), mesh)
+
+
+def test_dp_sp_traces_with_pallas_cell(monkeypatch):
+    """Regression: under the vma-checked 2-D (data x seq) mesh the Pallas
+    cell's out_shapes must carry the {data, seq} union (derived from the
+    inputs, ops/pallas_cell.py _vma_of) — binding only the seq axis made
+    lax.scan reject the carry types at trace time. eval_shape exercises the
+    abstract eval of the real (non-interpret) kernel path without running."""
+    from eigen_lstm_tpu.ops import pallas_cell as pc
+    from eigen_lstm_tpu.ops.dispatch import select_cell_fn
+
+    monkeypatch.setattr(pc, "_use_interpret", lambda: False)
+    pc._make_fused_seq.cache_clear()
+    pc._make_fused_embed_seq.cache_clear()
+    try:
+        mcfg = ModelConfig(vocab=256, hidden=128, num_layers=1,
+                           loss_mode="all", seed=0)
+        dcfg = DataConfig(path="", train_percent=1.0, batch=16, seq=8)
+        tcfg = TrainConfig(lr=0.1, superstep=1, eval_every_s=1e9, pp_chunks=2)
+        data = np.arange(200, dtype=np.uint8)
+        corpus = jnp.asarray(data)
+
+        cell_fn = functools.partial(pc.pallas_scan_layer)
+        cell_fn.embed_layer0 = pc.pallas_embed_layer0
+        mesh = sp_mod.make_mesh_dp_sp(2, 4)
+        step = sp_mod.make_dp_sp_superstep(
+            mcfg, dcfg, tcfg, corpus, mesh, cell_fn=cell_fn, donate=False
+        )
+        tr = Trainer(mcfg, dcfg, tcfg, data, None)
+        state = sp_mod.shard_dp_sp_state(tr.state, mesh)
+        out = jax.eval_shape(step, state)   # trace-only: vma typing check
+        assert out is not None
+    finally:
+        pc._make_fused_seq.cache_clear()
+        pc._make_fused_embed_seq.cache_clear()
