@@ -377,7 +377,7 @@ def _fwd_embed_kernel(n, m, variant, cdtype, n_split, WU_ref, b_ref, ids_ref,
         )
 
 
-def _bwd_embed_fused_kernel(n, m, s, variant, cdtype,
+def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split,
                             U_ref, gseq_ref, cseq_ref, cprev_ref, hprev_ref,
                             c0_ref, h0_ref, ids_ref, dhseq_ref, dhT_ref,
                             dcT_ref,
@@ -398,35 +398,46 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype,
         dWU_ref[:] = jnp.zeros_like(dWU_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
-    g = gseq_ref[0].astype(jnp.float32)
-    i = g[:, :n]
-    o = g[:, n : 2 * n]
-    f = g[:, 2 * n : 3 * n]
-    u = g[:, 3 * n :]
-    c_t = cseq_ref[0].astype(jnp.float32)
+    b_sz = dh_s.shape[0]
+    bs = b_sz // n_split
+    c_t_full = cseq_ref[0].astype(jnp.float32)
     is_first_step = t == s - 1     # timestep 0
-    c_prev = jnp.where(
+    c_prev_full = jnp.where(
         is_first_step,
         c0_ref[:].astype(jnp.float32),
         cprev_ref[0].astype(jnp.float32),
     )
-    dh_total = dhseq_ref[0].astype(jnp.float32) + dh_s[:]
-    dgs, dc_next = _gate_bwd(i, o, f, u, c_t, c_prev, dh_total, dc_s[:], variant)
-    dg = jnp.concatenate(dgs, axis=-1)
-    dg_c = dg.astype(cdtype)
+    dh_cot = dhseq_ref[0].astype(jnp.float32)
 
-    # issue the CRITICAL-PATH GEMM first: the next (earlier) timestep's gate
-    # backward needs dh, while the weight-grad accumulations below feed
-    # nothing until the kernel ends
-    dh_s[:] = jax.lax.dot_general(
-        dg_c, U_ref[:].astype(cdtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_prec(cdtype),
-    )
-    dc_s[:] = dc_next
+    # per half-block: gate backward (VPU) then the CRITICAL-PATH dh GEMM
+    # (MXU), interleaved so block p's GEMM can overlap block p+1's gate
+    # backward; the weight-grad accumulations run after (they feed nothing
+    # until the kernel ends)
+    dgs_c = []
+    db_acc = jnp.zeros((1, 4 * n), jnp.float32)
+    for p in range(n_split):
+        sl = slice(p * bs, (p + 1) * bs)
+        g = gseq_ref[0, sl, :].astype(jnp.float32)
+        dgs, dc_next = _gate_bwd(
+            g[:, :n], g[:, n : 2 * n], g[:, 2 * n : 3 * n], g[:, 3 * n :],
+            c_t_full[sl], c_prev_full[sl],
+            dh_cot[sl] + dh_s[sl, :], dc_s[sl, :], variant,
+        )
+        dg = jnp.concatenate(dgs, axis=-1)
+        db_acc = db_acc + jnp.sum(dg, axis=0, keepdims=True)
+        dg_c = dg.astype(cdtype)
+        dgs_c.append(dg_c)
+        dh_s[sl, :] = jax.lax.dot_general(
+            dg_c, U_ref[:].astype(cdtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(cdtype),
+        )
+        dc_s[sl, :] = dc_next
 
     # weight-gradient accumulation (contraction over the B sublanes)
-    b_sz = dh_s.shape[0]
+    dg_c = (
+        dgs_c[0] if n_split == 1 else jnp.concatenate(dgs_c, axis=0)
+    )
     ids_t = ids_ref[s - 1 - t]                             # (B,)
     cols = jax.lax.broadcasted_iota(jnp.int32, (b_sz, m), 1)
     onehot = (cols == ids_t[:, None]).astype(cdtype)
@@ -445,7 +456,7 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_prec(cdtype),
     )
-    db_ref[:] += jnp.sum(dg, axis=0, keepdims=True)
+    db_ref[:] += db_acc
     dh0_ref[:] = dh_s[:]
     dc0_ref[:] = dc_s[:]
 
@@ -453,7 +464,8 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype,
 @functools.lru_cache(maxsize=64)
 def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                           cdtype_name: str, rdtype_name: str, interpret: bool,
-                          n_split: int = 1, vma: tuple = ()):
+                          n_split: int = 1, vma: tuple = (),
+                          n_split_bwd: int = 1):
     """custom-VJP fused layer-0 sequence op: (WU, b, ids, h0, c0) ->
     (h_seq, (hT, cT)). WU is the stacked (M+N, 4N) weight at the compute
     dtype; backward reuses the standard reverse-time kernel with U = WU[M:]
@@ -523,7 +535,8 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
         smax = max(s - 2, 0)
         return pl.pallas_call(
             functools.partial(
-                _bwd_embed_fused_kernel, n, m, s, variant, cdtype
+                _bwd_embed_fused_kernel, n, m, s, variant, cdtype,
+                n_split_bwd
             ),
             grid=(s,),
             in_specs=[
@@ -647,10 +660,14 @@ def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None):
         n_split = int(os.environ.get("EIGEN_LSTM_BSPLIT", "1"))
     if b % (8 * n_split) != 0:
         n_split = 1
+    n_split_bwd = int(os.environ.get("EIGEN_LSTM_BSPLIT_BWD", "1"))
+    if b % (8 * n_split_bwd) != 0:
+        n_split_bwd = 1
     fn = _make_fused_embed_seq(
         s, b, n, m, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
         _use_interpret(), n_split, _vma_of(layer.W, layer.U, ids, h0, c0),
+        n_split_bwd,
     )
     WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
     bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)

@@ -208,3 +208,41 @@ def test_fused_embedding_batch_split_parity():
     np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+
+def test_embed_bwd_bsplit_matches_unsplit(monkeypatch):
+    """EIGEN_LSTM_BSPLIT_BWD=2 staggers the backward gate math into batch
+    half-blocks; gradients must equal the unsplit kernel exactly (same math,
+    same accumulation order per tensor)."""
+    from eigen_lstm_tpu.ops import pallas_cell as pc
+
+    cfg = ModelConfig(vocab=32, hidden=16, num_layers=1, loss_mode="all", seed=0)
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(0)
+    s, b = 6, 16
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    h0, c0 = model.init_state(cfg, b)
+    import functools as ft
+
+    cell_fn = ft.partial(pc.pallas_scan_layer)
+    cell_fn.embed_layer0 = pc.pallas_embed_layer0
+
+    def grads_with(split):
+        monkeypatch.setenv("EIGEN_LSTM_BSPLIT_BWD", str(split))
+        pc._make_fused_embed_seq.cache_clear()
+        return jax.grad(
+            lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg, cell_fn)[0]
+        )(params)
+
+    try:
+        g1 = grads_with(1)
+        g2 = grads_with(2)
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), rtol=1e-6, atol=1e-7
+            )
+    finally:
+        pc._make_fused_embed_seq.cache_clear()
