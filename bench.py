@@ -31,9 +31,13 @@ def main():
         "--seq", "100",
         "--dtype", "bfloat16",
         "--train-percent", "1.0",
-        "--superstep", "10",
-        "--bench-steps", "600",
-        "--warmup-steps", "100",
+        # 50 steps/superstep ≈ 48 ms device time per dispatch: enough to hide
+        # the ~45 ms tunnel roundtrip that starves the device at superstep=10
+        "--superstep", "50",
+        # 5 timing windows x 600 steps (~0.6 s device each): long enough that
+        # the per-window sync costs <10%, median-of-5 robust to load spikes
+        "--bench-steps", "3000",
+        "--warmup-steps", "300",
         # lr/warmup tuned for H=512 (docs/PERFORMANCE.md) so the reported
         # train_bpc reflects real learning during the benchmark window
         "--lr", "0.02",
@@ -46,6 +50,14 @@ def main():
     args = build_parser().parse_args(argv)
     result = run_benchmark(args)
     print(json.dumps(result), flush=True)
+    if not result.get("train_bpc_ok", True):
+        # fail loudly on a silent math regression that preserves throughput
+        # (train_bpc outside the sanity band) — after printing the JSON line
+        print(
+            f"train_bpc {result['train_bpc']} outside sanity band (1.5, 4.5)",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -42,20 +42,25 @@ def run_benchmark(args) -> Dict[str, Any]:
     )
 
     warmup = max(1, args.warmup_steps // tcfg.superstep)
-    steps = max(1, args.bench_steps // tcfg.superstep)
+    n_windows = max(1, int(getattr(args, "bench_windows", 5)))
+    steps = max(1, args.bench_steps // tcfg.superstep // n_windows)
 
     for _ in range(warmup):
-        trainer.state, metrics = trainer._dispatch_superstep()
+        trainer.state, metrics = trainer.dispatch_superstep()
     jax.block_until_ready(metrics["bits_mean"])
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        trainer.state, metrics = trainer._dispatch_superstep()
-    jax.block_until_ready(metrics["bits_mean"])
-    dt = time.perf_counter() - t0
-
-    chars = steps * trainer.chars_per_superstep()
-    cps = chars / dt
+    # k independent timing windows, median-of-k: a single window is exposed
+    # to tunnel/host load spikes (observed 7% swings between sessions,
+    # VERDICT r2 weak #1); the median is robust to one slow window
+    window_cps = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            trainer.state, metrics = trainer.dispatch_superstep()
+        jax.block_until_ready(metrics["bits_mean"])
+        dt = time.perf_counter() - t0
+        window_cps.append(steps * trainer.chars_per_superstep() / dt)
+    cps = float(np.median(window_cps))
     fpc = metrics_mod.lstm_flops_per_char(mcfg)
     gflops = cps * fpc / 1e9
     peak = (
@@ -73,6 +78,13 @@ def run_benchmark(args) -> Dict[str, Any]:
         _dc.replace(mcfg, embedding_mode="onehot")
     )
     baseline_cps = EIGEN_BLAS_GFLOPS * 1e9 / fpc_ref
+    train_bpc = float(metrics["bits_mean"])
+    # sanity band: after the benchmark's ~1k real training steps this config
+    # sits near 3.3-3.5 bpc (r01 3.34, r02 3.50); a silent math regression
+    # that keeps throughput shows up as ~8 bpc (uniform) or non-finite.
+    # Callers (repo-root bench.py) exit nonzero when this is False.
+    bpc_lo, bpc_hi = getattr(args, "bpc_band", (1.5, 4.5))
+    bpc_ok = bool(np.isfinite(train_bpc) and bpc_lo <= train_bpc <= bpc_hi)
     return {
         "metric": f"train_chars_per_sec H={mcfg.hidden} B={dcfg.batch} S={dcfg.seq} {mcfg.compute_dtype}",
         "value": round(cps, 1),
@@ -80,6 +92,8 @@ def run_benchmark(args) -> Dict[str, Any]:
         "vs_baseline": round(cps / baseline_cps, 2),
         "gflops": round(gflops, 1),
         "mfu": round(mfu, 4),
-        "train_bpc": round(float(metrics["bits_mean"]), 4),
+        "train_bpc": round(train_bpc, 4),
+        "train_bpc_ok": bpc_ok,
+        "windows_mchars_per_sec": [round(w / 1e6, 2) for w in window_cps],
         "platform": jax.devices()[0].platform,
     }

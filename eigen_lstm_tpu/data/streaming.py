@@ -73,6 +73,13 @@ class WindowFeeder:
     targets — the ev_x/ev_t pairing of ``class_batch/lstm.cc:279-284``),
     advancing the host cursors by ``stride`` per inner step with resident
     wrap semantics.
+
+    Invariant: the trainer prefetches one batch right after each dispatch,
+    so between supersteps ``self.positions`` leads the device's
+    ``TrainState.positions`` by one superstep (K·stride per stream).
+    ``TrainState.positions`` is the source of truth; call
+    ``set_positions(state.positions)`` before reading ``self.positions``
+    directly (``Trainer.restore`` does exactly this).
     """
 
     def __init__(

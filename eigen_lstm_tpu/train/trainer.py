@@ -249,11 +249,15 @@ class Trainer:
         self._next_windows = None
         self._windows_sharding = None
         if streaming:
-            if mesh is not None and parallel != "dp":
-                raise ValueError("streaming supports single-device and dp")
             self.corpus = None
         else:
             self.corpus = jnp.asarray(train_data)
+        # streamed-window kwargs shared by every parallel superstep builder
+        # (corpus stays on the host; the builder only needs its length for
+        # the in-jit cursor advance)
+        streamed_kw = (
+            dict(length=len(train_data), streamed=True) if streaming else {}
+        )
         self.mesh = mesh
         self.parallel = parallel if mesh is not None else None
         self._to_canonical = lambda p: p
@@ -263,18 +267,8 @@ class Trainer:
 
             self._shard = lambda s: dp_mod.shard_state(s, mesh, mesh_axis)
             if streaming:
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                from ..data import streaming as streaming_mod
-
                 self.superstep = dp_mod.make_dp_streamed_superstep(
                     mcfg, dcfg, tcfg, len(train_data), mesh, mesh_axis, cell_fn
-                )
-                self.feeder = streaming_mod.WindowFeeder(
-                    train_data, dcfg, tcfg.superstep
-                )
-                self._windows_sharding = NamedSharding(
-                    mesh, PartitionSpec(None, None, mesh_axis)
                 )
             else:
                 self.superstep = dp_mod.make_dp_superstep(
@@ -301,7 +295,8 @@ class Trainer:
             )
             tp_backend = _select_tp_backend(mcfg, dcfg.batch, ndev, cell_fn)
             self.superstep = tp_mod.make_tp_superstep(
-                mcfg, dcfg, tcfg, self.corpus, mesh, axis, backend=tp_backend
+                mcfg, dcfg, tcfg, self.corpus, mesh, axis, backend=tp_backend,
+                **streamed_kw,
             )
         elif mesh is not None and parallel == "dp_tp":
             from ..parallel import dp_tp as dp_tp_mod
@@ -330,7 +325,8 @@ class Trainer:
                 allow_per_step=False,
             )
             self.superstep = dp_tp_mod.make_dp_tp_superstep(
-                mcfg, dcfg, tcfg, self.corpus, mesh, backend=dp_tp_backend
+                mcfg, dcfg, tcfg, self.corpus, mesh, backend=dp_tp_backend,
+                **streamed_kw,
             )
         elif mesh is not None and parallel == "sp":
             from ..parallel import sp as sp_mod
@@ -340,14 +336,16 @@ class Trainer:
             # time (window segments across devices), not arrays
             self._shard = lambda s: sp_mod.shard_sp_state(s, mesh, axis)
             self.superstep = sp_mod.make_sp_superstep(
-                mcfg, dcfg, tcfg, self.corpus, mesh, axis, cell_fn=cell_fn
+                mcfg, dcfg, tcfg, self.corpus, mesh, axis, cell_fn=cell_fn,
+                **streamed_kw,
             )
         elif mesh is not None and parallel == "dp_sp":
             from ..parallel import sp as sp_mod
 
             self._shard = lambda s: sp_mod.shard_dp_sp_state(s, mesh)
             self.superstep = sp_mod.make_dp_sp_superstep(
-                mcfg, dcfg, tcfg, self.corpus, mesh, cell_fn=cell_fn
+                mcfg, dcfg, tcfg, self.corpus, mesh, cell_fn=cell_fn,
+                **streamed_kw,
             )
         elif mesh is not None and parallel == "pp":
             from ..parallel import pp as pp_mod
@@ -367,23 +365,36 @@ class Trainer:
                 axis,
             )
             self.superstep = pp_mod.make_pp_superstep(
-                mcfg, dcfg, tcfg, self.corpus, mesh, axis
+                mcfg, dcfg, tcfg, self.corpus, mesh, axis, **streamed_kw
             )
         elif mesh is not None:
             raise ValueError(f"unknown parallel mode {parallel!r}")
         elif streaming:
-            from ..data import streaming as streaming_mod
-
             self._shard = lambda s: s
             self.superstep = make_streamed_superstep(
                 mcfg, dcfg, tcfg, len(train_data), cell_fn
             )
-            self.feeder = streaming_mod.WindowFeeder(
-                train_data, dcfg, tcfg.superstep
-            )
         else:
             self._shard = lambda s: s
             self.superstep = make_superstep(mcfg, dcfg, tcfg, self.corpus, cell_fn)
+        if streaming:
+            from ..data import streaming as streaming_mod
+
+            self.feeder = streaming_mod.WindowFeeder(
+                train_data, dcfg, tcfg.superstep
+            )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                # the feeder's (K, S+1, B) batch is sharded on the stream
+                # (batch) axis for meshes with a data axis, replicated for
+                # model/seq/stage meshes (every device reads the full batch)
+                batch_axis = {
+                    "dp": mesh_axis, "dp_tp": "data", "dp_sp": "data",
+                }.get(parallel)
+                self._windows_sharding = NamedSharding(
+                    mesh, PartitionSpec(None, None, batch_axis)
+                )
         self.meter = metrics_mod.ThroughputMeter(mcfg)
         self.table = metrics_mod.ResultsTable(results_path)
         self.state = self._shard(self._init_state())
@@ -420,10 +431,15 @@ class Trainer:
         # each inner step trains B streams × stride new characters
         return self.dcfg.batch * self.dcfg.effective_stride * self.tcfg.superstep
 
-    def _dispatch_superstep(self):
-        """One superstep dispatch. In streaming mode the *next* batch is
-        built and device_put right after the (async) dispatch, so the host
-        window assembly and H2D transfer overlap the device compute."""
+    def dispatch_superstep(self):
+        """One superstep dispatch — the public single-dispatch API used by
+        ``run()``, bench.py and scripts/run_configs.py. In streaming mode the
+        *next* batch is built and device_put right after the (async)
+        dispatch, so the host window assembly and H2D transfer overlap the
+        device compute. Note: after a dispatch the host feeder's cursors
+        (``self.feeder.positions``) lead ``state.positions`` by the one
+        prefetched superstep; call ``feeder.set_positions`` before trusting
+        them directly (``restore()`` does)."""
         if self.feeder is None:
             return self.superstep(self.state)
         if self._next_windows is None:
@@ -461,7 +477,7 @@ class Trainer:
         eval_timer = metrics_mod.Timer()
         chars_done = 0
         for k in range(n_super):
-            self.state, metrics = self._dispatch_superstep()
+            self.state, metrics = self.dispatch_superstep()
             chars_done += self.chars_per_superstep()
             if (k + 1) % max(1, self.tcfg.log_every // self.tcfg.superstep) == 0 or k == n_super - 1:
                 bits = float(metrics["bits_mean"])

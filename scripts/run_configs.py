@@ -45,12 +45,12 @@ def measure(tag, mcfg_kw, dcfg_kw, steps=400, superstep=10, eval_chars=50000,
     # gather costs ~21% of a step, docs/PERFORMANCE.md round 2c)
     tr = Trainer(mcfg, dcfg, tcfg, train, test, cell_fn=cell_fn, streaming=True)
     # compile + warm
-    tr.state, m = tr._dispatch_superstep()
+    tr.state, m = tr.dispatch_superstep()
     jax.block_until_ready(m["bits_mean"])
     n_super = max(1, steps // superstep)
     t0 = time.perf_counter()
     for _ in range(n_super):
-        tr.state, m = tr._dispatch_superstep()
+        tr.state, m = tr.dispatch_superstep()
     jax.block_until_ready(m["bits_mean"])
     dt = time.perf_counter() - t0
     chars = n_super * tr.chars_per_superstep()

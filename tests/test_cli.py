@@ -110,9 +110,14 @@ def test_run_benchmark_tiny_cpu(tmp_path):
         "--bench-steps", "4", "--warmup-steps", "2",
     ])
     res = run_benchmark(args)
-    for key in ("metric", "value", "unit", "vs_baseline", "gflops", "mfu", "train_bpc"):
+    for key in ("metric", "value", "unit", "vs_baseline", "gflops", "mfu",
+                "train_bpc", "train_bpc_ok", "windows_mchars_per_sec"):
         assert key in res, key
     assert res["value"] > 0 and res["vs_baseline"] > 0
+    # value is the median over the k timing windows
+    assert len(res["windows_mchars_per_sec"]) == 5
+    med = float(np.median(res["windows_mchars_per_sec"]))
+    assert abs(res["value"] / 1e6 - med) <= 0.01 + 1e-6
 
 
 def test_graft_entry_contract():
