@@ -75,7 +75,8 @@ def _add_data_args(p: argparse.ArgumentParser):
                         "and it scales to corpora that rival HBM")
     p.add_argument("--resident-data", dest="stream_data", action="store_false",
                    help="force the device-resident corpus with in-jit window "
-                        "gathers (always used for --dp/--tp/--pp meshes)")
+                        "gathers (the default for mesh runs; --stream-data "
+                        "works for every parallel mode)")
 
 
 def _add_train_args(p: argparse.ArgumentParser):
@@ -205,15 +206,9 @@ def _make_trainer(args):
         getattr(args, "dp", None) or getattr(args, "tp", None)
         or getattr(args, "pp", None) or getattr(args, "sp", None)
     )
-    dp_only_mesh = bool(getattr(args, "dp", None)) and not (
-        getattr(args, "tp", None) or getattr(args, "pp", None)
-        or getattr(args, "sp", None)
-    )
     streaming = getattr(args, "stream_data", None)
     if streaming is None:
         streaming = not uses_mesh     # the single-device fast path
-    elif streaming and uses_mesh and not dp_only_mesh:
-        raise SystemExit("--stream-data supports single-device and --dp meshes")
     if streaming:
         import numpy as np
 

@@ -44,23 +44,38 @@ def make_dp_tp_superstep(
     mcfg: ModelConfig,
     dcfg: DataConfig,
     tcfg: TrainConfig,
-    corpus: jax.Array,
+    corpus,
     mesh: Mesh,
     donate: bool = True,
     backend: str = "xla",
     check_vma: bool = True,
+    length: int = None,
+    streamed: bool = False,
 ):
     """Full training superstep over a ("data", "model") mesh. Expects a
-    TrainState with TP-permuted params (see ``shard_dp_tp_state``)."""
+    TrainState with TP-permuted params (see ``shard_dp_tp_state``).
+
+    ``streamed=True`` builds ``superstep(state, windows)`` fed by the host
+    feeder's (K, S+1, B) uint8 batch, sharded over "data" on the batch axis
+    (each data-row reads its own stream slice; replicated over "model");
+    pass ``length`` instead of ``corpus``."""
     n_data = mesh.shape["data"]
     if dcfg.batch % n_data != 0:
         raise ValueError(f"global batch {dcfg.batch} not divisible by {n_data}")
-    length = int(corpus.shape[0])
+    length = int(corpus.shape[0]) if corpus is not None else int(length)
     stride = dcfg.effective_stride
     seq = dcfg.seq
 
-    def inner(state: TrainState, _):
-        x, t = corpus_mod.make_windows(corpus, state.positions, seq)
+    if streamed:
+        def window_fn(state, win):
+            w = win.astype(jnp.int32)
+            return w[:-1], w[1:]
+    else:
+        def window_fn(state, _):
+            return corpus_mod.make_windows(corpus, state.positions, seq)
+
+    def inner(state: TrainState, xs):
+        x, t = window_fn(state, xs)
 
         def loss_of(p):
             loss, aux = tp_mod.tp_loss_fn(
@@ -110,8 +125,11 @@ def make_dp_tp_superstep(
         )
         return TrainState(params, m, h2, c2, newpos, state.step + 1, key), (bits, gnorm)
 
-    def local_superstep(state: TrainState):
-        state, (bits, gnorms) = jax.lax.scan(inner, state, None, length=tcfg.superstep)
+    def local_superstep(state: TrainState, *xs):
+        state, (bits, gnorms) = jax.lax.scan(
+            inner, state, xs[0] if xs else None,
+            length=None if xs else tcfg.superstep,
+        )
         return state, {
             "bits_mean": jnp.mean(bits),
             "bits_last": bits[-1],
@@ -129,10 +147,13 @@ def make_dp_tp_superstep(
         key=P(),
     )
     metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    in_specs = (
+        (state_specs, P(None, None, "data")) if streamed else (state_specs,)
+    )
     mapped = jax.shard_map(
         local_superstep,
         mesh=mesh,
-        in_specs=(state_specs,),
+        in_specs=in_specs,
         out_specs=(state_specs, metrics_specs),
         check_vma=check_vma,
     )

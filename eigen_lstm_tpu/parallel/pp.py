@@ -266,10 +266,12 @@ def make_pp_superstep(
     mcfg: ModelConfig,
     dcfg: DataConfig,
     tcfg: TrainConfig,
-    corpus: jax.Array,
+    corpus,
     mesh: Mesh,
     axis: str = "stage",
     donate: bool = True,
+    length: int = None,
+    streamed: bool = False,
 ):
     """Full jitted K-step *training* superstep over the stage mesh: window
     gather → pipelined fwd/bwd → Adagrad → cursor advance → stream-state
@@ -287,15 +289,25 @@ def make_pp_superstep(
     from ..train.trainer import TrainState
 
     _check_stages(mcfg.num_layers, mesh.devices.size)
-    length = int(corpus.shape[0])
+    length = int(corpus.shape[0]) if corpus is not None else int(length)
     stride = dcfg.effective_stride
     seq = dcfg.seq
     n_chunks = tcfg.pp_chunks
     if seq % n_chunks != 0:
         raise ValueError(f"seq {seq} not divisible by pp_chunks {n_chunks}")
 
-    def inner(state: TrainState, _):
-        x, t = corpus_mod.make_windows(corpus, state.positions, seq)
+    if streamed:
+        # host-streamed windows (replicated across stages — every stage
+        # needs x for layer 0 input and t for the head's loss)
+        def window_fn(state, win):
+            w = win.astype(jnp.int32)
+            return w[:-1], w[1:]
+    else:
+        def window_fn(state, _):
+            return corpus_mod.make_windows(corpus, state.positions, seq)
+
+    def inner(state: TrainState, xs):
+        x, t = window_fn(state, xs)
 
         def loss_of(q):
             return pp_loss_fn(q, x, t, state.h, state.c, mcfg, n_chunks, axis)
@@ -322,8 +334,10 @@ def make_pp_superstep(
                 kh, kc = jax.random.split(sub)
                 rh = jax.random.normal(kh, h2.shape, h2.dtype) * dcfg.reset_std
                 rc = jax.random.normal(kc, c2.shape, c2.dtype) * dcfg.reset_std
-                rh = jax.lax.pvary(rh, (axis,)) if hasattr(jax.lax, "pvary") else rh
-                rc = jax.lax.pvary(rc, (axis,)) if hasattr(jax.lax, "pvary") else rc
+                from .tp import _pvary_if_invariant
+
+                rh = _pvary_if_invariant(rh, axis)
+                rc = _pvary_if_invariant(rc, axis)
             else:
                 rh = jnp.zeros_like(h2)
                 rc = jnp.zeros_like(c2)
@@ -339,8 +353,11 @@ def make_pp_superstep(
         )
         return TrainState(params, m, h2, c2, newpos, state.step + 1, key), (bits, gnorm)
 
-    def local_superstep(state: TrainState):
-        state, (bits, gnorms) = jax.lax.scan(inner, state, None, length=tcfg.superstep)
+    def local_superstep(state: TrainState, *xs):
+        state, (bits, gnorms) = jax.lax.scan(
+            inner, state, xs[0] if xs else None,
+            length=None if xs else tcfg.superstep,
+        )
         return state, {
             "bits_mean": jnp.mean(bits),
             "bits_last": bits[-1],
@@ -358,10 +375,11 @@ def make_pp_superstep(
         key=P(),
     )
     metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    in_specs = (state_specs, P()) if streamed else (state_specs,)
     mapped = jax.shard_map(
         local_superstep,
         mesh=mesh,
-        in_specs=(state_specs,),
+        in_specs=in_specs,
         out_specs=(state_specs, metrics_specs),
     )
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())

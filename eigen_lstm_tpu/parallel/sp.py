@@ -194,26 +194,37 @@ def make_sp_loss_and_grad(
     return jax.jit(mapped)
 
 
+def _streamed_window_fn(state, win):
+    w = win.astype(jnp.int32)
+    return w[:-1], w[1:]
+
+
 def make_sp_superstep(
     mcfg: ModelConfig,
     dcfg: DataConfig,
     tcfg: TrainConfig,
-    corpus: jax.Array,
+    corpus,
     mesh: Mesh,
     axis: str = "seq",
     cell_fn=None,
     donate: bool = True,
+    length: int = None,
+    streamed: bool = False,
 ):
     """Full jitted K-step training superstep over the seq mesh: window
     gather → time-pipelined fwd/bwd → Adagrad → cursor advance → stream
     carry, mirroring trainer.make_superstep step-for-step (tests/test_sp.py
     gates training-trajectory parity with the single-device path, including
-    stream resets)."""
+    stream resets).
+
+    ``streamed=True`` builds ``superstep(state, windows)`` fed by the host
+    feeder's (K, S+1, B) uint8 batch (replicated — each device slices its
+    own time segment in-jit); pass ``length`` instead of ``corpus``."""
     from ..data import corpus as corpus_mod
     from ..train.trainer import TrainState, _make_inner, _scan_metrics
 
     ndev = mesh.devices.size
-    length = int(corpus.shape[0])
+    length = int(corpus.shape[0]) if corpus is not None else int(length)
     seq = dcfg.seq
     n_chunks = tcfg.pp_chunks
     if seq % ndev != 0:
@@ -223,9 +234,11 @@ def make_sp_superstep(
             f"batch {dcfg.batch} not divisible by pp_chunks {n_chunks}"
         )
 
-
-    def window_fn(state, _):
-        return corpus_mod.make_windows(corpus, state.positions, seq)
+    if streamed:
+        window_fn = _streamed_window_fn
+    else:
+        def window_fn(state, _):
+            return corpus_mod.make_windows(corpus, state.positions, seq)
 
     def loss_grad_fn(params, x, t, h, c):
         def loss_of(p):
@@ -248,9 +261,10 @@ def make_sp_superstep(
         mcfg, dcfg, tcfg, length, cell_fn, window_fn, loss_grad_fn
     )
 
-    def local_superstep(state: TrainState):
+    def local_superstep(state: TrainState, *xs):
         state, (bits, gnorms) = jax.lax.scan(
-            inner, state, None, length=tcfg.superstep
+            inner, state, xs[0] if xs else None,
+            length=None if xs else tcfg.superstep,
         )
         return state, _scan_metrics(bits, gnorms)
 
@@ -262,10 +276,11 @@ def make_sp_superstep(
         params=repl, m=repl, h=P(), c=P(), positions=P(), step=P(), key=P()
     )
     metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    in_specs = (state_specs, P()) if streamed else (state_specs,)
     mapped = jax.shard_map(
         local_superstep,
         mesh=mesh,
-        in_specs=(state_specs,),
+        in_specs=in_specs,
         out_specs=(state_specs, metrics_specs),
     )
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
@@ -292,12 +307,14 @@ def make_dp_sp_superstep(
     mcfg: ModelConfig,
     dcfg: DataConfig,
     tcfg: TrainConfig,
-    corpus: jax.Array,
+    corpus,
     mesh: Mesh,
     data_axis: str = "data",
     seq_axis: str = "seq",
     cell_fn=None,
     donate: bool = True,
+    length: int = None,
+    streamed: bool = False,
 ):
     """2-D (data x seq) composition: the global batch is sharded over the
     data axis (each shard owns its stream cursors and recurrent state) and
@@ -311,7 +328,7 @@ def make_dp_sp_superstep(
 
     n_data = mesh.shape[data_axis]
     n_seq = mesh.shape[seq_axis]
-    length = int(corpus.shape[0])
+    length = int(corpus.shape[0]) if corpus is not None else int(length)
     seq = dcfg.seq
     n_chunks = tcfg.pp_chunks
     if dcfg.batch % n_data != 0:
@@ -324,9 +341,11 @@ def make_dp_sp_superstep(
             f"per-shard batch {local_b} not divisible by pp_chunks {n_chunks}"
         )
 
-
-    def window_fn(state, _):
-        return corpus_mod.make_windows(corpus, state.positions, seq)
+    if streamed:
+        window_fn = _streamed_window_fn
+    else:
+        def window_fn(state, _):
+            return corpus_mod.make_windows(corpus, state.positions, seq)
 
     def loss_grad_fn(params, x, t, h, c):
         def loss_of(p):
@@ -353,9 +372,10 @@ def make_dp_sp_superstep(
         reset_fold_axes=(data_axis,),
     )
 
-    def local_superstep(state: TrainState):
+    def local_superstep(state: TrainState, *xs):
         state, (bits, gnorms) = jax.lax.scan(
-            inner, state, None, length=tcfg.superstep
+            inner, state, xs[0] if xs else None,
+            length=None if xs else tcfg.superstep,
         )
         return state, _scan_metrics(bits, gnorms)
 
@@ -368,10 +388,13 @@ def make_dp_sp_superstep(
         positions=P(data_axis), step=P(), key=P(),
     )
     metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    in_specs = (
+        (state_specs, P(None, None, data_axis)) if streamed else (state_specs,)
+    )
     mapped = jax.shard_map(
         local_superstep,
         mesh=mesh,
-        in_specs=(state_specs,),
+        in_specs=in_specs,
         out_specs=(state_specs, metrics_specs),
     )
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())

@@ -38,6 +38,19 @@ from ..models import lstm as model
 from ..ops import cell as cell_ops
 
 
+def _pvary_if_invariant(x, axis: str):
+    """Mark ``x`` varying over ``axis`` unless its vma type already is —
+    the reset noise is device-varying by value (the key folds in
+    ``axis_index``), but depending on what else fed the key (e.g. streamed
+    windows) the tracer may or may not carry the axis in its vma set."""
+    if not hasattr(jax.lax, "pvary"):
+        return x
+    vma = getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
+    if axis in vma:
+        return x
+    return jax.lax.pvary(x, (axis,))
+
+
 def _gate_permutation(n: int, ndev: int) -> np.ndarray:
     """Permutation of the packed 4N gate axis from gate-major ``[i|o|f|u]``
     (each N) to device-major ``[[i_d o_d f_d u_d] for d]`` (each 4*N/ndev)."""
@@ -225,30 +238,46 @@ def make_tp_superstep(
     mcfg: ModelConfig,
     dcfg,
     tcfg,
-    corpus: jax.Array,
+    corpus,
     mesh: Mesh,
     axis: str = "model",
     donate: bool = True,
     backend: str = "xla",
     check_vma: bool = True,
+    length: int = None,
+    streamed: bool = False,
 ):
     """Full TP training superstep (scan of K steps): windows are replicated
     (every device reads the same byte streams), each device trains its own
     weight shards — no gradient collective at all; the only per-step
     communication is the all-gather of h inside the recurrence and the head
     psum. State layout mirrors ``trainer.TrainState`` with params/m in the
-    permuted TP sharding and h/c sharded on the hidden axis."""
+    permuted TP sharding and h/c sharded on the hidden axis.
+
+    ``streamed=True`` builds ``superstep(state, windows)`` fed by the host
+    feeder's (K, S+1, B) uint8 batch (replicated over the mesh — every
+    device reads the full batch under TP); pass ``length`` (corpus bytes)
+    instead of ``corpus``. Cursors advance in-jit exactly as the resident
+    path, so the two are trajectory-identical (tests/test_streaming.py)."""
     from ..data import corpus as corpus_mod
     from ..train import optimizer as opt_mod
     from ..train.trainer import TrainState
 
-    length = int(corpus.shape[0])
+    length = int(corpus.shape[0]) if corpus is not None else int(length)
     stride = dcfg.effective_stride
     seq = dcfg.seq
     ndev = mesh.devices.size
 
-    def inner(state: TrainState, _):
-        x, t = corpus_mod.make_windows(corpus, state.positions, seq)
+    if streamed:
+        def window_fn(state, win):
+            w = win.astype(jnp.int32)
+            return w[:-1], w[1:]
+    else:
+        def window_fn(state, _):
+            return corpus_mod.make_windows(corpus, state.positions, seq)
+
+    def inner(state: TrainState, xs):
+        x, t = window_fn(state, xs)
 
         def loss_of(p):
             return tp_loss_fn(p, x, t, state.h, state.c, mcfg, axis, backend)
@@ -276,8 +305,8 @@ def make_tp_superstep(
                 kh, kc = jax.random.split(sub)
                 rh = jax.random.normal(kh, h2.shape, h2.dtype) * dcfg.reset_std
                 rc = jax.random.normal(kc, c2.shape, c2.dtype) * dcfg.reset_std
-                rh = jax.lax.pvary(rh, (axis,)) if hasattr(jax.lax, "pvary") else rh
-                rc = jax.lax.pvary(rc, (axis,)) if hasattr(jax.lax, "pvary") else rc
+                rh = _pvary_if_invariant(rh, axis)
+                rc = _pvary_if_invariant(rc, axis)
             else:
                 rh = jnp.zeros_like(h2)
                 rc = jnp.zeros_like(c2)
@@ -293,8 +322,11 @@ def make_tp_superstep(
         )
         return TrainState(params, m, h2, c2, newpos, state.step + 1, key), (bits, gnorm)
 
-    def local_superstep(state: TrainState):
-        state, (bits, gnorms) = jax.lax.scan(inner, state, None, length=tcfg.superstep)
+    def local_superstep(state: TrainState, *xs):
+        state, (bits, gnorms) = jax.lax.scan(
+            inner, state, xs[0] if xs else None,
+            length=None if xs else tcfg.superstep,
+        )
         return state, {
             "bits_mean": jnp.mean(bits),
             "bits_last": bits[-1],
@@ -312,10 +344,11 @@ def make_tp_superstep(
         key=P(),
     )
     metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    in_specs = (state_specs, P()) if streamed else (state_specs,)
     mapped = jax.shard_map(
         local_superstep,
         mesh=mesh,
-        in_specs=(state_specs,),
+        in_specs=in_specs,
         out_specs=(state_specs, metrics_specs),
         check_vma=check_vma,
     )

