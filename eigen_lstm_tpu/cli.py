@@ -225,16 +225,28 @@ def _make_trainer(args):
     n_tp = getattr(args, "tp", None)
     n_pp = getattr(args, "pp", None)
     n_sp = getattr(args, "sp", None)
-    if n_pp and (n_dp or n_tp or n_sp):
-        raise SystemExit("--pp cannot be combined with --dp/--tp/--sp")
-    if n_sp and n_tp:
-        raise SystemExit("--sp cannot be combined with --tp")
+    if n_pp and (n_tp or n_sp):
+        raise SystemExit("--pp combines only with --dp")
+    if sum(map(bool, (n_dp, n_tp, n_sp, n_pp))) > 2:
+        raise SystemExit("at most two parallel axes may be combined")
     if n_dp and n_tp:
         from .parallel.dp_tp import make_mesh_2d
 
         mesh = make_mesh_2d(n_dp, n_tp)
         parallel = "dp_tp"
         print(f"2-D mesh: {n_dp} data x {n_tp} model devices", flush=True)
+    elif n_dp and n_pp:
+        from .parallel.pp import make_mesh_dp_pp
+
+        mesh = make_mesh_dp_pp(n_dp, n_pp)
+        parallel = "dp_pp"
+        print(f"2-D mesh: {n_dp} data x {n_pp} stage devices", flush=True)
+    elif n_tp and n_sp:
+        from .parallel.sp import make_mesh_tp_sp
+
+        mesh = make_mesh_tp_sp(n_sp, n_tp)
+        parallel = "tp_sp"
+        print(f"2-D mesh: {n_sp} seq x {n_tp} model devices", flush=True)
     elif n_dp and n_sp:
         from .parallel.sp import make_mesh_dp_sp
 

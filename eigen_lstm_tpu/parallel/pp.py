@@ -202,11 +202,18 @@ def pp_loss_fn(
         return (out_buf.astype(cfg.pdtype), h, c, bits_acc), None
 
     def _varying(x):
-        # the carried buffer/accumulator become stage-varying inside the loop;
-        # mark the (invariant) initial values accordingly for the vma typing
+        # the carried buffer/accumulator become stage-varying inside the
+        # loop; mark the (invariant) initial values accordingly for the vma
+        # typing — unioned with every axis the *inputs* vary on (e.g. the
+        # data axis under the 2-D data x stage mesh, where ids/h0 are
+        # batch-sharded)
+        axes = {axis}
+        for v in (ids, targets, h0, c0):
+            axes |= getattr(jax.typeof(v), "vma", frozenset()) or frozenset()
+        axes = tuple(sorted(axes))
         if hasattr(jax.lax, "pcast"):
-            return jax.lax.pcast(x, (axis,), to="varying")
-        return jax.lax.pvary(x, (axis,))
+            return jax.lax.pcast(x, axes, to="varying")
+        return jax.lax.pvary(x, axes)
 
     buf0 = _varying(jnp.zeros((cl, b_, n), cfg.pdtype))
     bits0 = _varying(jnp.zeros((), cfg.adtype))
@@ -383,6 +390,157 @@ def make_pp_superstep(
         out_specs=(state_specs, metrics_specs),
     )
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def make_dp_pp_superstep(
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    tcfg: TrainConfig,
+    corpus,
+    mesh: Mesh,
+    data_axis: str = "data",
+    stage_axis: str = "stage",
+    donate: bool = True,
+    length: int = None,
+    streamed: bool = False,
+):
+    """2-D (data x stage) composition: the global batch is sharded over the
+    data axis (each data-row owns its stream cursors, recurrent state and
+    windows) and each data-row pipelines its layer stack over the stage axis
+    exactly as the 1-D PP path does. The objective is the global mean loss:
+    ``pmean over data`` inside the differentiated function makes the
+    collective transposes emit globally-averaged gradients (the
+    make_dp_tp_superstep recipe); stage-sharded grads need no further
+    collective. Exactness vs single-device is gated by tests/test_pp.py."""
+    from ..data import corpus as corpus_mod
+    from ..train import optimizer as opt_mod
+    from ..train.trainer import TrainState
+
+    n_data = mesh.shape[data_axis]
+    _check_stages(mcfg.num_layers, mesh.shape[stage_axis])
+    if dcfg.batch % n_data != 0:
+        raise ValueError(f"global batch {dcfg.batch} not divisible by {n_data}")
+    length = int(corpus.shape[0]) if corpus is not None else int(length)
+    stride = dcfg.effective_stride
+    seq = dcfg.seq
+    n_chunks = tcfg.pp_chunks
+    if seq % n_chunks != 0:
+        raise ValueError(f"seq {seq} not divisible by pp_chunks {n_chunks}")
+
+    if streamed:
+        def window_fn(state, win):
+            w = win.astype(jnp.int32)
+            return w[:-1], w[1:]
+    else:
+        def window_fn(state, _):
+            return corpus_mod.make_windows(corpus, state.positions, seq)
+
+    def inner(state: TrainState, xs):
+        x, t = window_fn(state, xs)
+
+        def loss_of(q):
+            loss, (h2, c2, bits) = pp_loss_fn(
+                q, x, t, state.h, state.c, mcfg, n_chunks, stage_axis
+            )
+            # global objective: mean over data shards — its transpose yields
+            # globally-averaged gradients (see parallel/dp_tp.py)
+            return jax.lax.pmean(loss, data_axis), (h2, c2, bits)
+
+        (loss, (h2, c2, bits)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        bits = jax.lax.pmean(bits, data_axis)
+        if tcfg.skip_nonfinite:
+            finite = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+            )
+            h2 = jnp.where(finite, h2, state.h.astype(h2.dtype))
+            c2 = jnp.where(finite, c2, state.c.astype(c2.dtype))
+        newpos, wrapped = corpus_mod.advance_positions(
+            state.positions, stride, length, seq
+        )
+        if dcfg.carry_state:
+            key, sub = jax.random.split(state.key)
+            mask = wrapped[None, :, None]
+            if dcfg.reset_std > 0.0:
+                sub = jax.random.fold_in(sub, jax.lax.axis_index(data_axis))
+                sub = jax.random.fold_in(sub, jax.lax.axis_index(stage_axis))
+                kh, kc = jax.random.split(sub)
+                rh = jax.random.normal(kh, h2.shape, h2.dtype) * dcfg.reset_std
+                rc = jax.random.normal(kc, c2.shape, c2.dtype) * dcfg.reset_std
+            else:
+                rh = jnp.zeros_like(h2)
+                rc = jnp.zeros_like(c2)
+            h2 = jnp.where(mask, rh, h2)
+            c2 = jnp.where(mask, rc, c2)
+        else:
+            key = state.key
+            h2 = jnp.zeros_like(state.h)
+            c2 = jnp.zeros_like(state.c)
+        params, m, gnorm = opt_mod.apply_updates(
+            state.params, grads, state.m, state.step, tcfg,
+            psum_axis=stage_axis, replicated=pp_replicated_mask(),
+        )
+        return TrainState(params, m, h2, c2, newpos, state.step + 1, key), (bits, gnorm)
+
+    def local_superstep(state: TrainState, *xs):
+        state, (bits, gnorms) = jax.lax.scan(
+            inner, state, xs[0] if xs else None,
+            length=None if xs else tcfg.superstep,
+        )
+        return state, {
+            "bits_mean": jnp.mean(bits),
+            "bits_last": bits[-1],
+            "gnorm_mean": jnp.mean(gnorms),
+        }
+
+    pspecs = pp_specs(stage_axis)
+    state_specs = TrainState(
+        params=pspecs,
+        m=pspecs,
+        h=P(stage_axis, data_axis, None),
+        c=P(stage_axis, data_axis, None),
+        positions=P(data_axis),
+        step=P(),
+        key=P(),
+    )
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    in_specs = (
+        (state_specs, P(None, None, data_axis)) if streamed else (state_specs,)
+    )
+    mapped = jax.shard_map(
+        local_superstep,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(state_specs, metrics_specs),
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def make_mesh_dp_pp(n_data: int, n_stage: int, devices=None) -> Mesh:
+    from .dp_tp import make_mesh_2d
+
+    return make_mesh_2d(n_data, n_stage, devices, ("data", "stage"))
+
+
+def shard_dp_pp_state(state, mesh: Mesh, data_axis: str = "data",
+                      stage_axis: str = "stage"):
+    """Place a TrainState whose params/m are already in PPParams layout onto
+    the (data x stage) mesh."""
+    from ..train.trainer import TrainState
+
+    pspecs = pp_specs(stage_axis)
+    put = lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp))
+    return TrainState(
+        params=jax.tree_util.tree_map(put, state.params, pspecs),
+        m=jax.tree_util.tree_map(put, state.m, pspecs),
+        h=put(state.h, P(stage_axis, data_axis, None)),
+        c=put(state.c, P(stage_axis, data_axis, None)),
+        positions=put(state.positions, P(data_axis)),
+        step=put(state.step, P()),
+        key=put(state.key, P()),
+    )
 
 
 def shard_pp(pp: PPParams, mesh: Mesh, axis: str = "stage") -> PPParams:

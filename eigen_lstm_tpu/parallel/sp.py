@@ -51,19 +51,28 @@ def _varying(x, axis):
 
 
 def sp_loss_fn(
-    params: model.LSTMParams,   # replicated
+    params: model.LSTMParams,   # replicated (TP-sharded when tp_axis given)
     ids: jax.Array,             # (S, B) replicated
     targets: jax.Array,         # (S, B) replicated
-    h0: jax.Array,              # (L, B, N) replicated
+    h0: jax.Array,              # (L, B, N) replicated ((L, B, N/Dm) TP shard)
     c0: jax.Array,
     cfg: ModelConfig,
     n_chunks: int,
     axis: str = "seq",
     cell_fn=None,
+    tp_axis: str = None,
+    tp_backend: str = "xla",
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
     """Pipelined forward + softmax-CE loss over time segments.
     Returns (loss, (hT, cT, mean_bits)) — all replicated across the axis
-    (hT/cT are psum-broadcast from the final segment's device)."""
+    (hT/cT are psum-broadcast from the final segment's device).
+
+    ``tp_axis``: compose with gate-sharded tensor parallelism — each time
+    segment runs ``tp.tp_stack_forward`` over the model axis (weights and
+    recurrent state sharded N/Dm per device), the head is the row-sharded
+    ``tp.tp_head_logits``, and the carries handed up the seq ring are the
+    model-axis *shards* (ppermute moves (L, bs, N/Dm) — Dm-fold less ICI
+    traffic than unsharded SP)."""
     s, b_ = ids.shape
     d = jax.lax.axis_size(axis)
     sidx = jax.lax.axis_index(axis)
@@ -73,6 +82,10 @@ def sp_loss_fn(
     bs = b_ // n_chunks
     nl = len(params.layers)
     n = cfg.hidden
+    if tp_axis is not None:
+        from . import tp as tp_mod
+
+        n = cfg.hidden // jax.lax.axis_size(tp_axis)   # shard-local width
 
     # this device's time rows, cut into batch microchunks (C, seg, bs)
     ids_seg = jax.lax.dynamic_slice_in_dim(ids, sidx * seg, seg, 0)
@@ -95,17 +108,30 @@ def sp_loss_fn(
         h_in = jnp.where(sidx == 0, h0_j.astype(buf_h.dtype), buf_h)
         c_in = jnp.where(sidx == 0, c0_j.astype(buf_c.dtype), buf_c)
 
-        h_top, (hT, cT) = model.forward(
-            params, my_ids, h_in, c_in, cfg, cell_fn=cell_fn
-        )
+        if tp_axis is not None:
+            h_top, (hT, cT) = tp_mod.tp_stack_forward(
+                params, my_ids, h_in, c_in, cfg, tp_axis, tp_backend
+            )
+
+            def head(hrows):
+                flat = hrows.reshape(-1, cfg.hidden)
+                y = tp_mod.tp_head_logits(params, flat, cfg, tp_axis)
+                return y.reshape(*hrows.shape[:-1], cfg.vocab)
+        else:
+            h_top, (hT, cT) = model.forward(
+                params, my_ids, h_in, c_in, cfg, cell_fn=cell_fn
+            )
+
+            def head(hrows):
+                return model.logits_from_h(params, hrows, cfg)
 
         if cfg.loss_mode == "last":
             # only global t = S-1 scores: final row of the final segment
-            logits = model.logits_from_h(params, h_top[-1], cfg)
+            logits = head(h_top[-1])
             chunk_bits = jnp.sum(model.softmax_xent_bits(logits, my_tgt[-1]))
             scored = active & (sidx == d - 1)
         else:
-            logits = model.logits_from_h(params, h_top, cfg)
+            logits = head(h_top)
             chunk_bits = jnp.sum(model.softmax_xent_bits(logits, my_tgt))
             scored = active
         bits_acc = bits_acc + jnp.where(scored, chunk_bits, 0.0).astype(
@@ -133,13 +159,21 @@ def sp_loss_fn(
 
     # the scan carries must be varying over every axis the inputs vary on
     # (the seq axis always; plus e.g. the data axis under the 2-D dp x sp
-    # mesh where ids/h0 are batch-sharded)
-    vma_axes = {axis}
-    for v in (ids, targets, h0, c0):
-        vma_axes |= getattr(jax.typeof(v), "vma", frozenset()) or frozenset()
-    vma_axes = tuple(sorted(vma_axes))
+    # mesh where ids/h0 are batch-sharded, or the model axis under tp x sp
+    # where the recurrent state is gate-sharded)
+    def _vma_of(*vs):
+        axes = {axis}
+        for v in vs:
+            axes |= getattr(jax.typeof(v), "vma", frozenset()) or frozenset()
+        return tuple(sorted(axes))
+
+    vma_axes = _vma_of(ids, targets, h0, c0)
+    # the bit accumulator must NOT carry the model axis: under TP the head's
+    # psum makes chunk_bits model-invariant, and the final seq psum must
+    # yield a fully invariant loss
+    bits_vma = _vma_of(ids, targets)
     buf0 = _varying(jnp.zeros((nl, bs, n), cfg.pdtype), vma_axes)
-    bits0 = _varying(jnp.zeros((), cfg.adtype), vma_axes)
+    bits0 = _varying(jnp.zeros((), cfg.adtype), bits_vma)
     acc0 = _varying(jnp.zeros((nl, b_, n), cfg.pdtype), vma_axes)
     (_, _, bits_acc, hT_acc, cT_acc), _ = jax.lax.scan(
         tick,
@@ -404,6 +438,135 @@ def make_mesh_dp_sp(n_data: int, n_seq: int, devices=None) -> Mesh:
     from .dp_tp import make_mesh_2d
 
     return make_mesh_2d(n_data, n_seq, devices, ("data", "seq"))
+
+
+def make_tp_sp_superstep(
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    tcfg: TrainConfig,
+    corpus,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+    model_axis: str = "model",
+    backend: str = "xla",
+    cell_fn=None,
+    donate: bool = True,
+    length: int = None,
+    streamed: bool = False,
+):
+    """2-D (seq x model) composition: each time segment of the BPTT window
+    runs the gate-sharded TP forward over the model axis (weights, Adagrad
+    state and recurrent state all sharded N/Dm — parallel/tp.py's layout),
+    while the window pipelines over the seq axis exactly as 1-D SP does.
+    The seq-ring ppermute moves model-axis *shards*, so ICI carry traffic
+    shrinks Dm-fold vs unsharded SP. Gradients: per-segment contributions
+    psum over seq; model-axis grads are shard-local (no collective), exactly
+    as in make_tp_superstep. Exactness vs the single-device trainer is gated
+    by tests/test_sp.py."""
+    from ..data import corpus as corpus_mod
+    from ..train.trainer import TrainState, _make_inner, _scan_metrics
+    from . import tp as tp_mod
+
+    n_seq = mesh.shape[seq_axis]
+    n_model = mesh.shape[model_axis]
+    length = int(corpus.shape[0]) if corpus is not None else int(length)
+    seq = dcfg.seq
+    n_chunks = tcfg.pp_chunks
+    if seq % n_seq != 0:
+        raise ValueError(f"seq {seq} not divisible by {n_seq} seq devices")
+    if dcfg.batch % n_chunks != 0:
+        raise ValueError(
+            f"batch {dcfg.batch} not divisible by pp_chunks {n_chunks}"
+        )
+    if mcfg.hidden % n_model != 0:
+        raise ValueError(
+            f"hidden {mcfg.hidden} not divisible by {n_model} model devices"
+        )
+
+    if streamed:
+        window_fn = _streamed_window_fn
+    else:
+        def window_fn(state, _):
+            return corpus_mod.make_windows(corpus, state.positions, seq)
+
+    def loss_grad_fn(params, x, t, h, c):
+        def loss_of(p):
+            return sp_loss_fn(
+                p, x, t, h, c, mcfg, n_chunks, seq_axis, cell_fn,
+                tp_axis=model_axis, tp_backend=backend,
+            )
+
+        # params are model-sharded (varying over model) but seq-invariant;
+        # differentiate wrt a seq-varying copy so each seq device's grads
+        # are its pipeline-segment contribution, psum'd to the total
+        params_v = jax.tree_util.tree_map(
+            lambda p: _varying(p, seq_axis), params
+        )
+        (loss, (h2, c2, bits)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(params_v)
+        grads = jax.lax.psum(grads, seq_axis)
+        return (loss, ((h2, c2), bits)), grads
+
+    inner = _make_inner(
+        mcfg, dcfg, tcfg, length, cell_fn, window_fn, loss_grad_fn,
+        reset_fold_axes=(model_axis,),
+        opt_kwargs=dict(
+            psum_axis=model_axis,
+            replicated=tp_mod.tp_replicated_mask(mcfg, model_axis),
+        ),
+    )
+
+    def local_superstep(state: TrainState, *xs):
+        state, (bits, gnorms) = jax.lax.scan(
+            inner, state, xs[0] if xs else None,
+            length=None if xs else tcfg.superstep,
+        )
+        return state, _scan_metrics(bits, gnorms)
+
+    pspecs = tp_mod.tp_specs(mcfg, model_axis)
+    state_specs = TrainState(
+        params=pspecs, m=pspecs,
+        h=P(None, None, model_axis), c=P(None, None, model_axis),
+        positions=P(), step=P(), key=P(),
+    )
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    in_specs = (state_specs, P()) if streamed else (state_specs,)
+    mapped = jax.shard_map(
+        local_superstep,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(state_specs, metrics_specs),
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def make_mesh_tp_sp(n_seq: int, n_model: int, devices=None) -> Mesh:
+    from .dp_tp import make_mesh_2d
+
+    return make_mesh_2d(n_seq, n_model, devices, ("seq", "model"))
+
+
+def shard_tp_sp_state(state, mesh: Mesh, mcfg: ModelConfig,
+                      model_axis: str = "model"):
+    """Place a single-device TrainState (params already TP-permuted for
+    mesh.shape['model'] devices) onto the (seq x model) mesh — the TP
+    shardings, replicated over seq."""
+    from ..train.trainer import TrainState
+
+    from . import tp as tp_mod
+
+    pspecs = tp_mod.tp_specs(mcfg, model_axis)
+    put = lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp))
+    return TrainState(
+        params=jax.tree_util.tree_map(put, state.params, pspecs),
+        m=jax.tree_util.tree_map(put, state.m, pspecs),
+        h=put(state.h, P(None, None, model_axis)),
+        c=put(state.c, P(None, None, model_axis)),
+        positions=put(state.positions, P()),
+        step=put(state.step, P()),
+        key=put(state.key, P()),
+    )
 
 
 def shard_dp_sp_state(state, mesh: Mesh, data_axis: str = "data"):

@@ -150,19 +150,19 @@ def _tp_scan_layer(layer, xw, h0_d, c0_d, cfg: ModelConfig, axis: str,
     return h_seq, (hT, cT)
 
 
-def tp_loss_fn(
+def tp_stack_forward(
     params: model.LSTMParams,   # shard-local leaves (inside shard_map)
-    ids: jax.Array,             # (S, B) — replicated
-    targets: jax.Array,         # (S, B) — replicated
+    ids: jax.Array,             # (S, B) — replicated over the model axis
     h0: jax.Array,              # (L, B, N/D) shard
-    c0: jax.Array,              # (L, B, N/D) shard
+    c0: jax.Array,
     cfg: ModelConfig,
     axis: str = "model",
     backend: str = "xla",
-) -> Tuple[jax.Array, Tuple[Tuple[jax.Array, jax.Array], jax.Array]]:
-    """Shard-local mirror of ``models.lstm.loss_fn`` under TP. Loss and
-    metrics come out replicated across the model axis. ``backend="pallas"``
-    fuses each step's gate matmul + cell (ops/pallas_tp_cell.py)."""
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Gate-sharded forward over the whole layer stack: returns the
+    all-gathered top hidden sequence (S, B, N) and the stacked shard-local
+    final state (L, B, N/D). The layer loop of ``tp_loss_fn``, factored out
+    so time-segment callers (TP x SP, parallel/sp.py) can pipeline it."""
     s, b_ = ids.shape
     x_full = None  # full hidden sequence of the layer below (all-gathered)
     h_last, c_last = [], []
@@ -180,15 +180,43 @@ def tp_loss_fn(
         x_full = jax.lax.all_gather(h_seq_d, axis, axis=2, tiled=True)
         h_last.append(hT)
         c_last.append(cT)
+    return x_full, (jnp.stack(h_last), jnp.stack(c_last))
 
-    # head: Why row-sharded over hidden -> partial products psum'd
-    flat = x_full.reshape(s * b_, -1)
+
+def tp_head_logits(
+    params: model.LSTMParams,
+    flat: jax.Array,            # (T, N) full hidden rows
+    cfg: ModelConfig,
+    axis: str = "model",
+) -> jax.Array:
+    """Row-sharded softmax head: each device contracts its N/D rows of Why
+    against its slice of the hidden features; partial products psum over the
+    model axis (one (T, M) collective)."""
     nd = params.Why.shape[0]
     d_idx = jax.lax.axis_index(axis)
     local = jax.lax.dynamic_slice_in_dim(flat, d_idx * nd, nd, axis=1)
     y = cell_ops.matmul(local, params.Why, cfg.cdtype)
-    y = jax.lax.psum(y, axis) + params.by.astype(cfg.adtype)
-    logits = y.reshape(s, b_, cfg.vocab)
+    return jax.lax.psum(y, axis) + params.by.astype(cfg.adtype)
+
+
+def tp_loss_fn(
+    params: model.LSTMParams,   # shard-local leaves (inside shard_map)
+    ids: jax.Array,             # (S, B) — replicated
+    targets: jax.Array,         # (S, B) — replicated
+    h0: jax.Array,              # (L, B, N/D) shard
+    c0: jax.Array,              # (L, B, N/D) shard
+    cfg: ModelConfig,
+    axis: str = "model",
+    backend: str = "xla",
+) -> Tuple[jax.Array, Tuple[Tuple[jax.Array, jax.Array], jax.Array]]:
+    """Shard-local mirror of ``models.lstm.loss_fn`` under TP. Loss and
+    metrics come out replicated across the model axis. ``backend="pallas"``
+    fuses each step's gate matmul + cell (ops/pallas_tp_cell.py)."""
+    s, b_ = ids.shape
+    x_full, (hT, cT) = tp_stack_forward(params, ids, h0, c0, cfg, axis, backend)
+    logits = tp_head_logits(
+        params, x_full.reshape(s * b_, -1), cfg, axis
+    ).reshape(s, b_, cfg.vocab)
 
     if cfg.loss_mode == "last":
         bits = model.softmax_xent_bits(logits[-1], targets[-1])
@@ -196,7 +224,7 @@ def tp_loss_fn(
         bits = model.softmax_xent_bits(logits, targets)
     mean_bits = jnp.mean(bits)
     loss = mean_bits if cfg.loss_base == "2" else mean_bits * model.LN2
-    return loss, ((jnp.stack(h_last), jnp.stack(c_last)), mean_bits)
+    return loss, ((hT, cT), mean_bits)
 
 
 def make_tp_loss_and_grad(mcfg: ModelConfig, mesh: Mesh, axis: str = "model",

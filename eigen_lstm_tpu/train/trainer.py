@@ -59,6 +59,7 @@ def _make_inner(
     window_fn,
     loss_grad_fn=None,
     reset_fold_axes: tuple = (),
+    opt_kwargs: Optional[dict] = None,
 ):
     """One training step as a ``lax.scan`` body. ``window_fn(state, xs)``
     supplies the (x, t) int32 windows — gathered in-jit from a resident
@@ -118,7 +119,8 @@ def _make_inner(
             h2 = jnp.zeros_like(state.h)
             c2 = jnp.zeros_like(state.c)
         params, m, gnorm = opt_mod.apply_updates(
-            state.params, grads, state.m, state.step, tcfg
+            state.params, grads, state.m, state.step, tcfg,
+            **(opt_kwargs or {}),
         )
         new_state = TrainState(
             params, m, h2, c2, newpos, state.step + 1, key
@@ -347,6 +349,29 @@ class Trainer:
                 mcfg, dcfg, tcfg, self.corpus, mesh, cell_fn=cell_fn,
                 **streamed_kw,
             )
+        elif mesh is not None and parallel == "tp_sp":
+            from ..parallel import sp as sp_mod
+            from ..parallel import tp as tp_mod
+
+            n_model = mesh.shape["model"]
+            self._to_canonical = lambda p: tp_mod.unpermute_params_from_tp(
+                jax.device_get(p), n_model
+            )
+            self._from_canonical = lambda p: tp_mod.permute_params_for_tp(
+                p, n_model
+            )
+            self._shard = lambda s: sp_mod.shard_tp_sp_state(
+                dataclasses.replace(
+                    s,
+                    params=self._from_canonical(s.params),
+                    m=self._from_canonical(s.m),
+                ),
+                mesh,
+                mcfg,
+            )
+            self.superstep = sp_mod.make_tp_sp_superstep(
+                mcfg, dcfg, tcfg, self.corpus, mesh, **streamed_kw
+            )
         elif mesh is not None and parallel == "pp":
             from ..parallel import pp as pp_mod
 
@@ -366,6 +391,24 @@ class Trainer:
             )
             self.superstep = pp_mod.make_pp_superstep(
                 mcfg, dcfg, tcfg, self.corpus, mesh, axis, **streamed_kw
+            )
+        elif mesh is not None and parallel == "dp_pp":
+            from ..parallel import pp as pp_mod
+
+            self._to_canonical = lambda p: pp_mod.pp_params_to(
+                jax.device_get(p), mcfg
+            )
+            self._from_canonical = lambda p: pp_mod.pp_params_from(p, mcfg)
+            self._shard = lambda s: pp_mod.shard_dp_pp_state(
+                dataclasses.replace(
+                    s,
+                    params=self._from_canonical(s.params),
+                    m=self._from_canonical(s.m),
+                ),
+                mesh,
+            )
+            self.superstep = pp_mod.make_dp_pp_superstep(
+                mcfg, dcfg, tcfg, self.corpus, mesh, **streamed_kw
             )
         elif mesh is not None:
             raise ValueError(f"unknown parallel mode {parallel!r}")
@@ -391,6 +434,7 @@ class Trainer:
                 # model/seq/stage meshes (every device reads the full batch)
                 batch_axis = {
                     "dp": mesh_axis, "dp_tp": "data", "dp_sp": "data",
+                    "dp_pp": "data",
                 }.get(parallel)
                 self._windows_sharding = NamedSharding(
                     mesh, PartitionSpec(None, None, batch_axis)

@@ -137,7 +137,8 @@ def _mesh_trainers(data, mode, streaming):
     parallel mode (mirrors cli._make_trainer's mesh wiring)."""
     from eigen_lstm_tpu.parallel.dp_tp import make_mesh_2d
     from eigen_lstm_tpu.parallel.mesh import make_mesh
-    from eigen_lstm_tpu.parallel.sp import make_mesh_dp_sp
+    from eigen_lstm_tpu.parallel.pp import make_mesh_dp_pp
+    from eigen_lstm_tpu.parallel.sp import make_mesh_dp_sp, make_mesh_tp_sp
 
     mcfg, dcfg = MCFG, DCFG
     if mode == "tp":
@@ -153,6 +154,12 @@ def _mesh_trainers(data, mode, streaming):
     elif mode == "dp_sp":
         dcfg = dataclasses.replace(DCFG, batch=8)
         mesh = make_mesh_dp_sp(2, 4)
+    elif mode == "dp_pp":
+        mcfg = dataclasses.replace(MCFG, num_layers=2)
+        dcfg = dataclasses.replace(DCFG, batch=8)
+        mesh = make_mesh_dp_pp(2, 2)
+    elif mode == "tp_sp":
+        mesh = make_mesh_tp_sp(2, 4)
     else:
         raise ValueError(mode)
     return Trainer(
@@ -161,7 +168,9 @@ def _mesh_trainers(data, mode, streaming):
     )
 
 
-@pytest.mark.parametrize("mode", ["tp", "sp", "pp", "dp_tp", "dp_sp"])
+@pytest.mark.parametrize(
+    "mode", ["tp", "sp", "pp", "dp_tp", "dp_sp", "dp_pp", "tp_sp"]
+)
 def test_mesh_streamed_matches_resident(data, mode):
     """Every parallel mode accepts host-streamed windows (VERDICT r2 missing
     #4 lifted the dp-only restriction) and reproduces the resident in-jit
