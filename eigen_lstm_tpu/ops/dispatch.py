@@ -42,23 +42,30 @@ def tiled_supported(mcfg: ModelConfig, batch: int) -> bool:
     return pick_tile_width(mcfg.hidden, batch, mcfg.compute_dtype, rdtype) > 0
 
 
-def pallas_supported(mcfg: ModelConfig, batch: int) -> bool:
-    """Some Pallas recurrence path (resident or tiled) applies."""
+def pallas_supported(
+    mcfg: ModelConfig, batch: int, interpret: bool = False
+) -> bool:
+    """Some Pallas recurrence path (resident or tiled) applies.
+    ``interpret=True`` skips the platform gate: the kernels run under the
+    Pallas TPU interpreter on CPU (how the test suite and the driver's
+    ``dryrun_multichip`` exercise them without a chip)."""
     try:
         from . import pallas_cell  # noqa: F401
     except ImportError:
         return False
-    if jax.devices()[0].platform != "tpu":
+    if not interpret and jax.devices()[0].platform != "tpu":
         return False
     return resident_supported(mcfg, batch) or tiled_supported(mcfg, batch)
 
 
-def select_cell_fn(backend: str, mcfg: ModelConfig, batch: int) -> Optional[object]:
+def select_cell_fn(
+    backend: str, mcfg: ModelConfig, batch: int, interpret: bool = False
+) -> Optional[object]:
     """Returns a ``cell_fn`` for ``models.lstm.forward`` or None (XLA scan)."""
     if backend == "xla":
         return None
     if backend in ("auto", "pallas"):
-        ok = pallas_supported(mcfg, batch)
+        ok = pallas_supported(mcfg, batch, interpret)
         if not ok:
             if backend == "pallas":
                 raise ValueError(

@@ -104,20 +104,22 @@ def _gate_bwd(i, o, f, u, c_t, c_prev, dh_total, dc, variant):
     )
 
 
-def _fwd_kernel(n, variant, cdtype, U_ref, xw_ref, h0_ref, c0_ref,
+def _fwd_kernel(n, variant, cdtype, af, U_ref, xw_ref, h0_ref, c0_ref,
                 hseq_ref, cseq_ref, gseq_ref, h_s, c_s):
+    # ``af``: accumulator dtype — float32 on hardware; float64 only under
+    # the interpreter for the FD-gradcheck oracle (utils/gradcheck.py)
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
-        h_s[:] = h0_ref[:].astype(jnp.float32)
-        c_s[:] = c0_ref[:].astype(jnp.float32)
+        h_s[:] = h0_ref[:].astype(af)
+        c_s[:] = c0_ref[:].astype(af)
 
     h_prev = h_s[:]
     c_prev = c_s[:]
-    g_pre = xw_ref[0].astype(jnp.float32) + jnp.dot(
+    g_pre = xw_ref[0].astype(af) + jnp.dot(
         h_prev.astype(cdtype), U_ref[:].astype(cdtype),
-        preferred_element_type=jnp.float32, precision=_prec(cdtype),
+        preferred_element_type=af, precision=_prec(cdtype),
     )
     iof = jax.nn.sigmoid(g_pre[:, : 3 * n])
     u = jnp.tanh(g_pre[:, 3 * n :])
@@ -131,30 +133,30 @@ def _fwd_kernel(n, variant, cdtype, U_ref, xw_ref, h0_ref, c0_ref,
     gseq_ref[0] = jnp.concatenate([iof, u], axis=-1).astype(gseq_ref.dtype)
 
 
-def _bwd_kernel(n, s, variant, cdtype, U_ref, gseq_ref, cseq_ref, cprev_ref,
+def _bwd_kernel(n, s, variant, cdtype, af, U_ref, gseq_ref, cseq_ref, cprev_ref,
                 c0_ref, dhseq_ref, dhT_ref, dcT_ref,
                 dgseq_ref, dh0_ref, dc0_ref, dh_s, dc_s):
     t = pl.program_id(0)           # iteration t processes timestep s-1-t
 
     @pl.when(t == 0)
     def _():
-        dh_s[:] = dhT_ref[:].astype(jnp.float32)
-        dc_s[:] = dcT_ref[:].astype(jnp.float32)
+        dh_s[:] = dhT_ref[:].astype(af)
+        dc_s[:] = dcT_ref[:].astype(af)
 
-    g = gseq_ref[0].astype(jnp.float32)
+    g = gseq_ref[0].astype(af)
     i = g[:, :n]
     o = g[:, n : 2 * n]
     f = g[:, 2 * n : 3 * n]
     u = g[:, 3 * n :]
-    c_t = cseq_ref[0].astype(jnp.float32)
+    c_t = cseq_ref[0].astype(af)
     is_first_step = t == s - 1     # timestep 0
     c_prev = jnp.where(
         is_first_step,
-        c0_ref[:].astype(jnp.float32),
-        cprev_ref[0].astype(jnp.float32),
+        c0_ref[:].astype(af),
+        cprev_ref[0].astype(af),
     )
 
-    dh_total = dhseq_ref[0].astype(jnp.float32) + dh_s[:]
+    dh_total = dhseq_ref[0].astype(af) + dh_s[:]
     dgs, dc_next = _gate_bwd(i, o, f, u, c_t, c_prev, dh_total, dc_s[:], variant)
     dg = jnp.concatenate(dgs, axis=-1)
     dgseq_ref[0] = dg.astype(dgseq_ref.dtype)
@@ -163,7 +165,7 @@ def _bwd_kernel(n, s, variant, cdtype, U_ref, gseq_ref, cseq_ref, cprev_ref,
     dh_s[:] = jax.lax.dot_general(
         dg.astype(cdtype), U_ref[:].astype(cdtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_prec(cdtype),
+        preferred_element_type=af, precision=_prec(cdtype),
     )
     dc_s[:] = dc_next
     # last-write-wins: after the final iteration these hold d(h0), d(c0)
@@ -179,7 +181,9 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
     ``rdtype``: storage dtype for the saved h/c/g residual sequences."""
     cdtype = jnp.dtype(cdtype_name).type
     rdtype = jnp.dtype(rdtype_name).type
-    f32 = jnp.float32
+    # accumulator dtype: float32 on hardware; float64 under the interpreter
+    # when the config asks for it (the FD-gradcheck oracle, tests only)
+    f32 = jnp.float64 if cdtype == jnp.float64 else jnp.float32
     # storage dtype of the per-step input stream xw and its cotangent dg:
     # these are the largest HBM streams of the recurrence ((S*B, 4N) each);
     # bf16 halves their traffic under mixed precision
@@ -187,7 +191,7 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
 
     def fwd_call(U, xw, h0, c0):
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, n, variant, cdtype),
+            functools.partial(_fwd_kernel, n, variant, cdtype, f32),
             grid=(s,),
             in_specs=[
                 pl.BlockSpec((n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -221,7 +225,7 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
 
     def bwd_call(U, g_seq, c_seq, c0, dh_seq, dhT, dcT):
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, n, s, variant, cdtype),
+            functools.partial(_bwd_kernel, n, s, variant, cdtype, f32),
             grid=(s,),
             in_specs=[
                 pl.BlockSpec((n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -273,9 +277,9 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
         U, h_seq, c_seq, g_seq, h0, c0 = res
         dh_seq, (dhT, dcT) = cot
         dg_seq, dh0, dc0 = bwd_call(
-            U, g_seq, c_seq, c0.astype(jnp.float32),
-            dh_seq.astype(jnp.float32),
-            dhT.astype(jnp.float32), dcT.astype(jnp.float32),
+            U, g_seq, c_seq, c0.astype(f32),
+            dh_seq.astype(f32),
+            dhT.astype(f32), dcT.astype(f32),
         )
         # dU = sum_t h_{t-1}^T dg_t — one large MXU GEMM over all steps
         h_prev = jnp.concatenate([h0[None].astype(h_seq.dtype), h_seq[:-1]], axis=0)
@@ -283,7 +287,7 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
             h_prev.reshape(s * b, n).astype(cdtype),
             dg_seq.reshape(s * b, 4 * n).astype(cdtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_prec(cdtype),
+            preferred_element_type=f32, precision=_prec(cdtype),
         )
         return (
             dU.astype(U.dtype),
@@ -305,15 +309,23 @@ def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
     mixed precision — this is what admits N=1024 within the VMEM budget."""
     s, b, _ = xw.shape
     n = cfg.hidden
+    if jnp.dtype(cfg.cdtype) == jnp.float64:
+        # interpreter-only FD-gradcheck oracle: everything float64
+        rdtype = xdtype = af = jnp.float64
+    else:
+        rdtype = (
+            jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16
+        )
+        xdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        af = jnp.float32
     fn = _make_fused_seq(
         s, b, n, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
-        jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
+        jnp.dtype(rdtype).name,
         _use_interpret(), _vma_of(layer.U, xw, h0, c0),
     )
-    xdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     h_seq, (hT, cT) = fn(
         layer.U.astype(cfg.cdtype), xw.astype(xdtype),
-        h0.astype(jnp.float32), c0.astype(jnp.float32),
+        h0.astype(af), c0.astype(af),
     )
     return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))
 

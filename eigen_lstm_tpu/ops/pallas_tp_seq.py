@@ -325,6 +325,16 @@ def _make_tp_seq(b: int, n: int, nd: int, seq: int, ndev: int, variant: str,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=f32, precision=_prec(cdtype),
         )
+        # a custom_vjp must hand back cotangents with the primal's vma: on a
+        # 2-D (data x model) mesh the activations vary over "data" but U
+        # does not, so dU picks up the extra axis — reduce over it, exactly
+        # the psum the XLA path's automatic transpose inserts for a
+        # data-invariant operand of a data-varying contraction
+        u_vma = getattr(jax.typeof(U), "vma", frozenset()) or frozenset()
+        du_vma = getattr(jax.typeof(dU), "vma", frozenset()) or frozenset()
+        extra = tuple(sorted(du_vma - u_vma))
+        if extra:
+            dU = jax.lax.psum(dU, extra)
         return (dU.astype(U.dtype), dgseq, dh0, dc0)
 
     tp_seq.defvjp(tp_seq_fwd, tp_seq_bwd)

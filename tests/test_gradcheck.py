@@ -93,3 +93,48 @@ def test_gradcheck_exhaustive_small_model(x64):
     assert n_total == param_count(cfg)  # literally every parameter
     for name, r in results.items():
         assert r.passed, f"{name}: max={r.max_rel_err:.3e} mean={r.mean_rel_err:.3e}"
+
+
+@pytest.mark.parametrize("variant", ["reference", "standard"])
+def test_gradcheck_pallas_interpret(x64, variant):
+    """FD gradcheck against the fused Pallas recurrence kernel itself
+    (interpret mode, float64 end-to-end) — closing the oracle gap between
+    the kernels and numerical ground truth (VERDICT r2 next #9). The kernel
+    family threads a float64 accumulator dtype under the interpreter for
+    exactly this test; on hardware it is always float32."""
+    import functools
+
+    from eigen_lstm_tpu.ops import pallas_cell as pc
+
+    cfg = ModelConfig(
+        vocab=12,
+        hidden=8,
+        num_layers=1,
+        cell_variant=variant,
+        loss_mode="all",
+        param_dtype="float64",
+        compute_dtype="float64",
+        seed=3,
+    )
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(7)
+    s, b = 6, 2
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    h0, c0 = model.init_state(cfg, b)
+    h0 = h0 + 0.1
+    c0 = c0 - 0.1
+
+    cell_fn = functools.partial(pc.pallas_scan_layer)
+    loss_of = jax.jit(
+        lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg, cell_fn)[0]
+    )
+    grads = jax.grad(
+        lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg, cell_fn)[0]
+    )(params)
+    # sanity: the kernel path really ran in float64 (loss bit-accuracy)
+    xla_loss = float(model.loss_fn(params, ids, targets, h0, c0, cfg)[0])
+    np.testing.assert_allclose(float(loss_of(params)), xla_loss, rtol=1e-12)
+    results = check_gradients(loss_of, params, grads, samples_per_tensor=40, seed=0)
+    for name, res in results.items():
+        assert res.passed, f"{name}: max={res.max_rel_err:.3e} mean={res.mean_rel_err:.3e}"

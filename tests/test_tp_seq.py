@@ -289,3 +289,82 @@ def test_tp_seq_on_2d_mesh_matches_xla_backend():
         jax.tree_util.tree_leaves(s_x.params), jax.tree_util.tree_leaves(s_k.params)
     ):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
+
+
+def test_tp_seq_traces_under_checked_vma_1d(monkeypatch):
+    """Advisor r2: the Trainer's real TP ladder runs pallas_seq under the
+    DEFAULT vma-checked shard_map on hardware, but every parity test forces
+    check_vma=False — leaving the kernel's out_shape vma annotations
+    (sds/vma_key) an uncovered trace path. eval_shape the full TP training
+    superstep with the real (non-interpret) kernel under check_vma=True,
+    exactly as make_tp_superstep builds it on a TPU mesh."""
+    from eigen_lstm_tpu import DataConfig, TrainConfig
+    from eigen_lstm_tpu.train.trainer import TrainState, Trainer
+
+    monkeypatch.setattr(seq_mod, "_use_interpret", lambda: False)
+    seq_mod._make_tp_seq.cache_clear()
+    try:
+        ndev = 8
+        cfg = ModelConfig(vocab=256, hidden=128 * ndev, num_layers=1,
+                          loss_mode="all", seed=0)
+        from eigen_lstm_tpu import DataConfig as DC
+        dcfg = DC(path="", batch=8, seq=6, train_percent=1.0)
+        tcfg = TrainConfig(lr=0.1, superstep=1, eval_every_s=1e9)
+        data = np.tile(np.arange(31, dtype=np.uint8) + 60, 500)
+        tr = Trainer(cfg, dcfg, tcfg, data, None)
+        mesh = mesh_mod.make_mesh(ndev, axis="model")
+        assert seq_mod.tp_seq_supported(cfg, dcfg.batch, ndev)
+        step = tp_mod.make_tp_superstep(
+            cfg, dcfg, tcfg, tr.corpus, mesh, donate=False,
+            backend="pallas_seq", check_vma=True,
+        )
+        import dataclasses
+
+        state = tp_mod.shard_tp_state(
+            dataclasses.replace(
+                tr.state,
+                params=tp_mod.permute_params_for_tp(tr.state.params, ndev),
+                m=tp_mod.permute_params_for_tp(tr.state.m, ndev),
+            ),
+            mesh, cfg,
+        )
+        out = jax.eval_shape(step, state)   # trace-only: vma typing check
+        assert out is not None
+    finally:
+        seq_mod._make_tp_seq.cache_clear()
+
+
+def test_tp_seq_traces_under_checked_vma_2d(monkeypatch):
+    """Same trace check on the 2-D (data x model) mesh, where the kernel's
+    out_shape vma must carry the {data, model} union."""
+    from eigen_lstm_tpu import DataConfig, TrainConfig
+    from eigen_lstm_tpu.parallel import dp_tp as dp_tp_mod
+    from eigen_lstm_tpu.train.trainer import TrainState, Trainer
+
+    monkeypatch.setattr(seq_mod, "_use_interpret", lambda: False)
+    seq_mod._make_tp_seq.cache_clear()
+    try:
+        n_model = 4
+        cfg = ModelConfig(vocab=256, hidden=128 * n_model, num_layers=1,
+                          loss_mode="all", seed=0)
+        dcfg = DataConfig(path="", batch=16, seq=6, train_percent=1.0)
+        tcfg = TrainConfig(lr=0.1, superstep=1, eval_every_s=1e9)
+        data = np.tile(np.arange(31, dtype=np.uint8) + 60, 500)
+        tr = Trainer(cfg, dcfg, tcfg, data, None)
+        mesh2d = dp_tp_mod.make_mesh_2d(2, n_model)
+        state0 = TrainState(
+            tp_mod.permute_params_for_tp(tr.state.params, n_model),
+            tp_mod.permute_params_for_tp(tr.state.m, n_model),
+            tr.state.h, tr.state.c, tr.state.positions, tr.state.step,
+            tr.state.key,
+        )
+        step = dp_tp_mod.make_dp_tp_superstep(
+            cfg, dcfg, tcfg, tr.corpus, mesh2d, donate=False,
+            backend="pallas_seq", check_vma=True,
+        )
+        out = jax.eval_shape(
+            step, dp_tp_mod.shard_dp_tp_state(state0, mesh2d, cfg)
+        )
+        assert out is not None
+    finally:
+        seq_mod._make_tp_seq.cache_clear()
