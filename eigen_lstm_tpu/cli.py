@@ -33,6 +33,10 @@ def _add_model_args(p: argparse.ArgumentParser):
                         "seq >= 512 (long-window residual streams), "
                         "float32 otherwise")
     p.add_argument("--forget-bias", type=float, default=1.0)
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="inter-layer + pre-head dropout rate (training only; "
+                        "the reference has no regularization — rebuild "
+                        "extension for held-out quality on small corpora)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--embedding", choices=["auto", "gather", "onehot"], default="auto",
                    help="layer-0 W-x path: auto = gather fwd + one-hot-GEMM bwd")
@@ -144,6 +148,7 @@ def _configs(args):
         residual_dtype=residual,
         forget_bias=args.forget_bias,
         embedding_mode=args.embedding,
+        dropout=getattr(args, "dropout", 0.0),
         seed=args.seed,
     )
     dcfg = DataConfig(

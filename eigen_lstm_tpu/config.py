@@ -67,6 +67,13 @@ class ModelConfig:
     # (h/c/gate sequences) in the Pallas path; "bfloat16" halves the HBM
     # traffic of the recurrence at a small gradient-precision cost. The
     # in-flight carry stays fp32 in VMEM either way.
+    dropout: float = 0.0          # inter-layer + pre-head dropout rate
+    # (training only; eval/sampling always run the full net). The reference
+    # has no regularization of any kind (SURVEY.md §2.2) — this is a rebuild
+    # extension for held-out quality on corpora far smaller than enwik8.
+    # Applied to the non-recurrent connections only (between stacked layers
+    # and before the softmax head, the Zaremba'14 recipe); the recurrent
+    # h->h path is untouched so the Pallas recurrence kernels are unaffected.
     seed: int = 0
 
     def __post_init__(self):
@@ -74,6 +81,7 @@ class ModelConfig:
         assert self.loss_mode in ("last", "all"), self.loss_mode
         assert self.loss_base in ("e", "2"), self.loss_base
         assert self.embedding_mode in ("auto", "gather", "onehot"), self.embedding_mode
+        assert 0.0 <= self.dropout < 1.0, self.dropout
 
     @property
     def pdtype(self):

@@ -133,6 +133,13 @@ def _scan_layer(
     return h_seq, (hT, cT)
 
 
+def _dropout(x: jax.Array, rate: float, key: jax.Array) -> jax.Array:
+    """Inverted dropout (train-time scaling, identity at eval)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype), jnp.zeros_like(x))
+
+
 def forward(
     params: LSTMParams,
     ids: jax.Array,               # (S, B) int32 byte ids
@@ -140,6 +147,7 @@ def forward(
     c0: jax.Array,                # (L, B, N)
     cfg: ModelConfig,
     cell_fn=None,
+    dropout_key: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Full forward: returns (h_seq of top layer (S,B,N), (hL, cL) stacked).
 
@@ -147,16 +155,27 @@ def forward(
     signature ``(layer, xw, h0, c0, cfg) -> (h_seq, (hT, cT))`` — the hook
     through which the fused Pallas kernel is swapped in (ops/pallas_cell.py),
     exactly where the reference swaps Eigen for cuBLAS (SURVEY.md §3.3).
+
+    ``dropout_key``: when given and ``cfg.dropout > 0``, applies dropout to
+    the non-recurrent connections (each layer's output hidden sequence,
+    i.e. between stacked layers and before the head — Zaremba'14). ``None``
+    = eval mode. The recurrence itself is untouched, so the Pallas kernels
+    see ordinary inputs.
     """
     scan_fn = cell_fn or _scan_layer
     s, b_ = ids.shape
     x = None
     h_last, c_last = [], []
+    drop = cfg.dropout if dropout_key is not None else 0.0
     embed_fn = getattr(cell_fn, "embed_layer0", None)
     for l, layer in enumerate(params.layers):
         if l == 0 and embed_fn is not None:
             # layer-0 embedding fused into the kernel (no xw stream)
             h_seq, (hT, cT) = embed_fn(layer, ids, h0[0], c0[0], cfg)
+            if drop > 0.0:
+                h_seq = _dropout(
+                    h_seq, drop, jax.random.fold_in(dropout_key, 0)
+                )
             x = h_seq
             h_last.append(hT)
             c_last.append(cT)
@@ -182,6 +201,8 @@ def forward(
             xw = cell_ops.matmul(flat, layer.W, cfg.cdtype).reshape(s, b_, -1)
             xw = xw + layer.b.astype(cfg.adtype)
         h_seq, (hT, cT) = scan_fn(layer, xw, h0[l], c0[l], cfg)
+        if drop > 0.0:
+            h_seq = _dropout(h_seq, drop, jax.random.fold_in(dropout_key, l))
         x = h_seq
         h_last.append(hT)
         c_last.append(cT)
@@ -212,6 +233,7 @@ def loss_fn(
     c0: jax.Array,
     cfg: ModelConfig,
     cell_fn=None,
+    dropout_key: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Tuple[Tuple[jax.Array, jax.Array], jax.Array]]:
     """Training objective. Returns (loss, ((hL, cL), mean_bits_per_char)).
 
@@ -219,8 +241,11 @@ def loss_fn(
     ``"all"`` counts every step (``lstm_segment.cc:197-206``). The objective
     is scaled to ``loss_base`` (ln vs log2 inconsistency across reference
     variants, SURVEY.md §2.2 item 7); metrics are always bits.
+    ``dropout_key``: train-mode dropout (see ``forward``); None = eval.
     """
-    h_seq, state = forward(params, ids, h0, c0, cfg, cell_fn=cell_fn)
+    h_seq, state = forward(
+        params, ids, h0, c0, cfg, cell_fn=cell_fn, dropout_key=dropout_key
+    )
     s, b_ = ids.shape
     head_fn = getattr(cell_fn, "fused_head", None)
     if cfg.loss_mode == "last":

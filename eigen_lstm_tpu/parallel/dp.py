@@ -54,9 +54,15 @@ def _make_dp_superstep_impl(
         # identical math to trainer.make_superstep's inner, on local streams,
         # plus one grad psum — the only ICI communication per step
         x, t = window_fn(state, xs)
+        # per-step dropout masks (decorrelated per shard: the local key is
+        # already a per-device fold of the replicated key)
+        dkey = (
+            jax.random.fold_in(state.key, state.step)
+            if mcfg.dropout > 0.0 else None
+        )
         (loss, ((h2, c2), bits)), grads = jax.value_and_grad(
             model.loss_fn, has_aux=True
-        )(state.params, x, t, state.h, state.c, mcfg, cell_fn)
+        )(state.params, x, t, state.h, state.c, mcfg, cell_fn, dkey)
         if tcfg.skip_nonfinite:
             finite = jnp.isfinite(loss)
             grads = jax.tree_util.tree_map(

@@ -75,17 +75,31 @@ def _make_inner(
 
     stride = dcfg.effective_stride
     seq = dcfg.seq
+    use_dropout = mcfg.dropout > 0.0
     if loss_grad_fn is None:
-        def loss_grad_fn(params, x, t, h, c):
+        def loss_grad_fn(params, x, t, h, c, dropout_key=None):
             return jax.value_and_grad(model.loss_fn, has_aux=True)(
-                params, x, t, h, c, mcfg, cell_fn
+                params, x, t, h, c, mcfg, cell_fn, dropout_key
             )
+    elif use_dropout:
+        raise ValueError(
+            "dropout > 0 is supported on the single-device / DP training "
+            "paths; this parallel mode supplies its own loss_grad_fn"
+        )
 
     def inner(state: TrainState, xs) -> Tuple[TrainState, Tuple[jax.Array, jax.Array]]:
         x, t = window_fn(state, xs)
-        (loss, ((h2, c2), bits)), grads = loss_grad_fn(
-            state.params, x, t, state.h, state.c
-        )
+        if use_dropout:
+            # per-step mask stream derived without consuming the carried key
+            # (the reset RNG trajectory stays identical to dropout=0 runs)
+            dkey = jax.random.fold_in(state.key, state.step)
+            (loss, ((h2, c2), bits)), grads = loss_grad_fn(
+                state.params, x, t, state.h, state.c, dkey
+            )
+        else:
+            (loss, ((h2, c2), bits)), grads = loss_grad_fn(
+                state.params, x, t, state.h, state.c
+            )
         if tcfg.skip_nonfinite:
             # reference skips NaN losses silently (cu_lstm.h:210-211); we
             # zero the grads so the Adagrad update is a no-op that step, and

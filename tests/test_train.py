@@ -389,3 +389,60 @@ def test_timed_eval_cadence_writes_rows_and_samples(tmp_path):
     with open(tmp_path / "res.jsonl") as f:
         lines = [json.loads(l) for l in f]
     assert len(lines) == len(tr.table.rows)
+
+
+def test_dropout_trains_and_eval_is_deterministic():
+    """dropout>0: trains (finite falling bpc), leaves the reset-RNG
+    trajectory of dropout=0 runs untouched (cursor/positions identical),
+    and the evaluator/sampler never apply masks (eval bpc reproducible)."""
+    import dataclasses
+
+    import jax
+
+    from eigen_lstm_tpu import DataConfig, ModelConfig, TrainConfig
+    from eigen_lstm_tpu.train.trainer import Trainer
+
+    data = np.tile(np.arange(17, dtype=np.uint8) + 65, 600)
+    mcfg0 = ModelConfig(hidden=32, num_layers=2, loss_mode="all", seed=1)
+    mcfg_d = dataclasses.replace(mcfg0, dropout=0.3)
+    dcfg = DataConfig(path="", train_percent=0.9, batch=4, seq=8)
+    tcfg = TrainConfig(lr=0.1, superstep=5, steps=40, eval_every_s=1e9, seed=5)
+
+    tr0 = Trainer(mcfg0, dcfg, tcfg, data[:540], data[540:])
+    trd = Trainer(mcfg_d, dcfg, tcfg, data[:540], data[540:])
+    m0 = tr0.run(steps=40, quiet=True)
+    md = trd.run(steps=40, quiet=True)
+    assert np.isfinite(md["train_bpc"])
+    # masks perturb the math but not the data pipeline's RNG stream
+    np.testing.assert_array_equal(
+        np.asarray(tr0.state.positions), np.asarray(trd.state.positions)
+    )
+    # params must actually differ (dropout really applied)
+    a = np.asarray(tr0.state.params.layers[1].U)
+    b = np.asarray(trd.state.params.layers[1].U)
+    assert not np.allclose(a, b)
+    # eval has no mask stream: identical back-to-back
+    e1 = trd.evaluate(max_chars=50)
+    e2 = trd.evaluate(max_chars=50)
+    assert e1 == e2 and np.isfinite(e1)
+    # learning still happens on the periodic corpus (8.0 = uniform start)
+    assert md["train_bpc"] < 5.0
+
+
+def test_dropout_dp_runs():
+    """dropout through the DP shard_map path (per-shard decorrelated
+    masks)."""
+    import dataclasses
+
+    from eigen_lstm_tpu import DataConfig, ModelConfig, TrainConfig
+    from eigen_lstm_tpu.parallel.mesh import make_mesh
+    from eigen_lstm_tpu.train.trainer import Trainer
+
+    data = np.tile(np.arange(17, dtype=np.uint8) + 65, 600)
+    mcfg = ModelConfig(hidden=32, num_layers=2, loss_mode="all", seed=1,
+                       dropout=0.2)
+    dcfg = DataConfig(path="", train_percent=1.0, batch=8, seq=8)
+    tcfg = TrainConfig(lr=0.1, superstep=5, steps=20, eval_every_s=1e9, seed=5)
+    tr = Trainer(mcfg, dcfg, tcfg, data, None, mesh=make_mesh(8), parallel="dp")
+    m = tr.run(steps=20, quiet=True)
+    assert np.isfinite(m["train_bpc"])
