@@ -134,10 +134,23 @@ def _scan_layer(
 
 
 def _dropout(x: jax.Array, rate: float, key: jax.Array) -> jax.Array:
-    """Inverted dropout (train-time scaling, identity at eval)."""
+    """Inverted dropout (train-time scaling, identity at eval).
+
+    Masks come from ``lax.rng_bit_generator`` (the TPU's hardware RNG
+    instruction) instead of the counter-based threefry stream — cheaper on
+    the VPU, though measured flat on the 3x1024 flagship step: the
+    dropout cost there is the extra HBM traffic of masking the (S, B, N)
+    hidden streams (~1.2 GB/step), not the RNG itself. Dropout masks need
+    no cross-backend reproducibility — only determinism within a run,
+    which RBG's keyed stream provides."""
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, x.shape)
-    return jnp.where(mask, x / jnp.asarray(keep, x.dtype), jnp.zeros_like(x))
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    k4 = jnp.concatenate([kd, kd])[:4]
+    _, bits = jax.lax.rng_bit_generator(k4, x.shape, dtype=jnp.uint32)
+    thresh = jnp.uint32(int(keep * (2**32 - 1)))
+    return jnp.where(
+        bits <= thresh, x / jnp.asarray(keep, x.dtype), jnp.zeros_like(x)
+    )
 
 
 def forward(
