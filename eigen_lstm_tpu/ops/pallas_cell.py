@@ -389,18 +389,28 @@ def _fwd_embed_kernel(n, m, variant, cdtype, n_split, WU_ref, b_ref, ids_ref,
         )
 
 
-def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split,
+def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split, defer,
                             U_ref, gseq_ref, cseq_ref, cprev_ref, hprev_ref,
                             c0_ref, h0_ref, ids_ref, dhseq_ref, dhT_ref,
                             dcT_ref,
-                            dWU_ref, db_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+                            dWU_ref, db_ref, dh0_ref, dc0_ref, dh_s, dc_s,
+                            *defer_scratch):
     """Reverse-time backward with the weight gradients accumulated
     *in-kernel*: dg never leaves VMEM. Per iteration t (timestep tau=s-1-t),
     the standard gate backward produces dg in registers; then
     ``dWU[:M] += onehot(ids_tau)^T @ dg``, ``dWU[M:] += h_{tau-1}^T @ dg``,
     and ``db += sum_b dg`` accumulate straight into the (constant-index)
     output blocks. At the headline config this removes the (S·B, 4N) dg
-    stream entirely (write + two GEMM reads, ~150 MB per window)."""
+    stream entirely (write + two GEMM reads, ~150 MB per window).
+
+    ``defer``: software-pipeline the wgrad accumulation one iteration back —
+    iteration t accumulates the PREVIOUS iteration's dg (held in scratch)
+    before computing this step's gate backward. The deferred wgrad GEMMs
+    depend on nothing this iteration produces, so the scheduler may overlap
+    them with the serialized VPU gate-backward chain (the kernel's measured
+    residual cost, docs/PERFORMANCE.md round 2); the final iteration
+    flushes its own dg inline. Same math, same per-timestep accumulation
+    order — bitwise-identical gradients."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -412,6 +422,32 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split,
 
     b_sz = dh_s.shape[0]
     bs = b_sz // n_split
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b_sz, m), 1)
+
+    def wgrad(dg_c, onehot, h_prev_c):
+        dWU_ref[:m] += jax.lax.dot_general(
+            onehot, dg_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(cdtype),
+        )
+        dWU_ref[m:] += jax.lax.dot_general(
+            h_prev_c, dg_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(cdtype),
+        )
+
+    if defer:
+        dg_s, hprev_s = defer_scratch
+
+        # the previous iteration's accumulation: pure MXU work with no
+        # dependence on anything below — issued first so it can overlap
+        # the VPU gate backward
+        @pl.when(t > 0)
+        def _():
+            ids_prev = ids_ref[s - t]              # prev iteration's tau
+            onehot_prev = (cols == ids_prev[:, None]).astype(cdtype)
+            wgrad(dg_s[:], onehot_prev, hprev_s[:])
+
     c_t_full = cseq_ref[0].astype(jnp.float32)
     is_first_step = t == s - 1     # timestep 0
     c_prev_full = jnp.where(
@@ -446,28 +482,29 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split,
         )
         dc_s[sl, :] = dc_next
 
-    # weight-gradient accumulation (contraction over the B sublanes)
     dg_c = (
         dgs_c[0] if n_split == 1 else jnp.concatenate(dgs_c, axis=0)
-    )
-    ids_t = ids_ref[s - 1 - t]                             # (B,)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b_sz, m), 1)
-    onehot = (cols == ids_t[:, None]).astype(cdtype)
-    dWU_ref[:m] += jax.lax.dot_general(
-        onehot, dg_c,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_prec(cdtype),
     )
     h_prev = jnp.where(
         is_first_step,
         h0_ref[:].astype(jnp.float32),
         hprev_ref[0].astype(jnp.float32),
     )
-    dWU_ref[m:] += jax.lax.dot_general(
-        h_prev.astype(cdtype), dg_c,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_prec(cdtype),
-    )
+    if defer:
+        dg_s[:] = dg_c
+        hprev_s[:] = h_prev.astype(cdtype)
+
+        # last iteration: nothing comes after, flush this dg inline
+        @pl.when(t == s - 1)
+        def _():
+            ids_t = ids_ref[s - 1 - t]
+            onehot = (cols == ids_t[:, None]).astype(cdtype)
+            wgrad(dg_c, onehot, h_prev.astype(cdtype))
+    else:
+        # weight-gradient accumulation (contraction over the B sublanes)
+        ids_t = ids_ref[s - 1 - t]                         # (B,)
+        onehot = (cols == ids_t[:, None]).astype(cdtype)
+        wgrad(dg_c, onehot, h_prev.astype(cdtype))
     db_ref[:] += db_acc
     dh0_ref[:] = dh_s[:]
     dc0_ref[:] = dc_s[:]
@@ -477,7 +514,7 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split,
 def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                           cdtype_name: str, rdtype_name: str, interpret: bool,
                           n_split: int = 1, vma: tuple = (),
-                          n_split_bwd: int = 1):
+                          n_split_bwd: int = 1, defer_wgrad: bool = False):
     """custom-VJP fused layer-0 sequence op: (WU, b, ids, h0, c0) ->
     (h_seq, (hT, cT)). WU is the stacked (M+N, 4N) weight at the compute
     dtype; backward reuses the standard reverse-time kernel with U = WU[M:]
@@ -545,10 +582,14 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
 
     def bwd_fused_call(WU, g_seq, c_seq, h_seq, ids, h0, c0, dh_seq, dhT, dcT):
         smax = max(s - 2, 0)
+        defer_scratch = (
+            [pltpu.VMEM((b, 4 * n), cdtype), pltpu.VMEM((b, n), cdtype)]
+            if defer_wgrad else []
+        )
         return pl.pallas_call(
             functools.partial(
                 _bwd_embed_fused_kernel, n, m, s, variant, cdtype,
-                n_split_bwd
+                n_split_bwd, defer_wgrad
             ),
             grid=(s,),
             in_specs=[
@@ -579,7 +620,7 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),
                 pltpu.VMEM((b, n), f32),
-            ],
+            ] + defer_scratch,
             cost_estimate=pl.CostEstimate(
                 flops=2 * s * b * 4 * n * (2 * n + m + n),
                 bytes_accessed=(
@@ -675,11 +716,14 @@ def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None):
     n_split_bwd = int(os.environ.get("EIGEN_LSTM_BSPLIT_BWD", "1"))
     if b % (8 * n_split_bwd) != 0:
         n_split_bwd = 1
+    # software-pipelined weight-grad accumulation (dg deferred one
+    # iteration so its MXU GEMMs may overlap the next VPU gate backward)
+    defer_wgrad = os.environ.get("EIGEN_LSTM_BWD_DEFER", "0") == "1"
     fn = _make_fused_embed_seq(
         s, b, n, m, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
         _use_interpret(), n_split, _vma_of(layer.W, layer.U, ids, h0, c0),
-        n_split_bwd,
+        n_split_bwd, defer_wgrad,
     )
     WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
     bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)
