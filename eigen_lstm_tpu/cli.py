@@ -33,6 +33,12 @@ def _add_model_args(p: argparse.ArgumentParser):
                         "seq >= 512 (long-window residual streams), "
                         "float32 otherwise")
     p.add_argument("--forget-bias", type=float, default=1.0)
+    p.add_argument("--scan-chunk", type=int, default=0,
+                   help="long-window residual tiling: rematerialize the "
+                        "recurrence in chunks of this many steps (must "
+                        "divide --seq; 0 = off). Shrinks the BPTT residual "
+                        "working set for S >= 1000 windows "
+                        "(docs/PERFORMANCE.md long-context)")
     p.add_argument("--dropout", type=float, default=0.0,
                    help="inter-layer + pre-head dropout rate (training only; "
                         "the reference has no regularization — rebuild "
@@ -149,6 +155,7 @@ def _configs(args):
         forget_bias=args.forget_bias,
         embedding_mode=args.embedding,
         dropout=getattr(args, "dropout", 0.0),
+        scan_chunk=getattr(args, "scan_chunk", 0),
         seed=args.seed,
     )
     dcfg = DataConfig(

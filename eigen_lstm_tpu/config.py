@@ -67,6 +67,14 @@ class ModelConfig:
     # (h/c/gate sequences) in the Pallas path; "bfloat16" halves the HBM
     # traffic of the recurrence at a small gradient-precision cost. The
     # in-flight carry stays fp32 in VMEM either way.
+    scan_chunk: int = 0           # long-window residual tiling: split the
+    # S-step recurrence into scan_chunk-step chunks with jax.checkpoint
+    # around each — only the chunk being differentiated holds its (S', B,
+    # 4N) gate residuals, shrinking the residual working set S/scan_chunk-
+    # fold at the cost of one extra forward pass per chunk. Targets the
+    # measured S>=1000 slowdown (docs/PERFORMANCE.md long-context: both
+    # kernels run ~25% more ns/char once the per-window residual streams
+    # reach ~0.5 GB). 0 = off. Applies to any cell backend (XLA or Pallas).
     dropout: float = 0.0          # inter-layer + pre-head dropout rate
     # (training only; eval/sampling always run the full net). The reference
     # has no regularization of any kind (SURVEY.md §2.2) — this is a rebuild

@@ -133,6 +133,34 @@ def _scan_layer(
     return h_seq, (hT, cT)
 
 
+def _chunked_seq(fn, seq_arg: jax.Array, h0: jax.Array, c0: jax.Array,
+                 chunk: int):
+    """Run a whole-sequence layer op chunk-wise with rematerialization:
+    ``fn(x_chunk, h, c) -> (h_seq, (hT, cT))`` is scanned over S/chunk
+    time chunks under ``jax.checkpoint``, so during BPTT only the chunk
+    being differentiated holds its gate/cell residuals (the rest are
+    recomputed from the chunk-boundary (h, c) states). See
+    ModelConfig.scan_chunk."""
+    s = seq_arg.shape[0]
+    n_chunks = s // chunk
+
+    @jax.checkpoint
+    def body(carry, x_c):
+        h, c = carry
+        h_seq, (hT, cT) = fn(x_c, h, c)
+        return (hT, cT), h_seq
+
+    xs = seq_arg.reshape(n_chunks, chunk, *seq_arg.shape[1:])
+    (hT, cT), hs = jax.lax.scan(body, (h0, c0), xs)
+    return hs.reshape(s, *hs.shape[2:]), (hT, cT)
+
+
+def _maybe_chunk(cfg: ModelConfig, s: int):
+    """Chunk size to use for this window, or 0 (off / not divisible)."""
+    ck = cfg.scan_chunk
+    return ck if ck and 0 < ck < s and s % ck == 0 else 0
+
+
 def _dropout(x: jax.Array, rate: float, key: jax.Array) -> jax.Array:
     """Inverted dropout (train-time scaling, identity at eval).
 
@@ -181,10 +209,17 @@ def forward(
     h_last, c_last = [], []
     drop = cfg.dropout if dropout_key is not None else 0.0
     embed_fn = getattr(cell_fn, "embed_layer0", None)
+    ck = _maybe_chunk(cfg, s)
     for l, layer in enumerate(params.layers):
         if l == 0 and embed_fn is not None:
             # layer-0 embedding fused into the kernel (no xw stream)
-            h_seq, (hT, cT) = embed_fn(layer, ids, h0[0], c0[0], cfg)
+            if ck:
+                h_seq, (hT, cT) = _chunked_seq(
+                    lambda x_c, h, c: embed_fn(layer, x_c, h, c, cfg),
+                    ids, h0[0], c0[0], ck,
+                )
+            else:
+                h_seq, (hT, cT) = embed_fn(layer, ids, h0[0], c0[0], cfg)
             if drop > 0.0:
                 h_seq = _dropout(
                     h_seq, drop, jax.random.fold_in(dropout_key, 0)
@@ -213,7 +248,13 @@ def forward(
             flat = x.reshape(s * b_, -1)
             xw = cell_ops.matmul(flat, layer.W, cfg.cdtype).reshape(s, b_, -1)
             xw = xw + layer.b.astype(cfg.adtype)
-        h_seq, (hT, cT) = scan_fn(layer, xw, h0[l], c0[l], cfg)
+        if ck:
+            h_seq, (hT, cT) = _chunked_seq(
+                lambda x_c, h, c: scan_fn(layer, x_c, h, c, cfg),
+                xw, h0[l], c0[l], ck,
+            )
+        else:
+            h_seq, (hT, cT) = scan_fn(layer, xw, h0[l], c0[l], cfg)
         if drop > 0.0:
             h_seq = _dropout(h_seq, drop, jax.random.fold_in(dropout_key, l))
         x = h_seq

@@ -177,3 +177,46 @@ def test_embedding_auto_matches_gather_and_onehot():
     np.testing.assert_allclose(losses["auto"], losses["onehot"], rtol=1e-6)
     for a, b in zip(grads["auto"], grads["gather"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_scan_chunk_remat_parity():
+    """scan_chunk residual tiling: identical loss AND gradients to the
+    unchunked scan (same math, recompute-only), for both the XLA scan and
+    the interpret-mode Pallas kernel, incl. the fused-embed layer-0 path."""
+    import dataclasses
+    import functools
+
+    from eigen_lstm_tpu.ops import pallas_cell as pc
+
+    cfg0 = ModelConfig(hidden=128, num_layers=2, loss_mode="all", seed=0)
+    cfg_c = dataclasses.replace(cfg0, scan_chunk=4)
+    rng = np.random.default_rng(3)
+    s, b = 12, 8
+    ids = jnp.asarray(rng.integers(0, 256, (s, b)), jnp.int32)
+    tg = jnp.asarray(rng.integers(0, 256, (s, b)), jnp.int32)
+    params = model.init_params(cfg0)
+    h0, c0 = model.init_state(cfg0, b)
+
+    pallas_fn = functools.partial(pc.pallas_scan_layer)
+    pallas_fn.embed_layer0 = pc.pallas_embed_layer0
+    for cell_fn, tol in ((None, 1e-6), (pallas_fn, 1e-6)):
+        outs = {}
+        for name, cfg in (("flat", cfg0), ("chunked", cfg_c)):
+            loss, grads = jax.value_and_grad(
+                lambda p: model.loss_fn(p, ids, tg, h0, c0, cfg, cell_fn)[0]
+            )(params)
+            outs[name] = (float(loss), grads)
+        np.testing.assert_allclose(outs["flat"][0], outs["chunked"][0],
+                                   rtol=tol)
+        for a, b2 in zip(
+            jax.tree_util.tree_leaves(outs["flat"][1]),
+            jax.tree_util.tree_leaves(outs["chunked"][1]),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       rtol=1e-5, atol=1e-6)
+
+    # non-divisible chunk silently disables (static shape guard)
+    cfg_bad = dataclasses.replace(cfg0, scan_chunk=5)
+    l_bad = float(model.loss_fn(params, ids, tg, h0, c0, cfg_bad)[0])
+    l_ref = float(model.loss_fn(params, ids, tg, h0, c0, cfg0)[0])
+    np.testing.assert_allclose(l_bad, l_ref, rtol=1e-6)
