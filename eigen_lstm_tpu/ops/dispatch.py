@@ -23,12 +23,23 @@ def _shape_ok(mcfg: ModelConfig, batch: int) -> bool:
 
 def resident_supported(mcfg: ModelConfig, batch: int) -> bool:
     """The resident-U fused kernel holds U (N, 4N) plus per-step blocks in
-    VMEM (~16 MB/core): supported up to N≈1024 fp32 / N≈1024 bf16."""
+    VMEM (~16 MB/core): supported up to N≈1024 fp32 / N≈1024 bf16, with a
+    batch-dependent bound from the backward's double-buffered (B, 4N)
+    g/dg blocks (calibrated against Mosaic's scoped-vmem accounting:
+    22.0 MB at N=1024 B=256 bf16, 21.45 MB at N=256 B=1024 fp32 — both
+    reject; N=1024 B=128 bf16 at ~15.2 MB runs)."""
     if not _shape_ok(mcfg, batch):
         return False
-    bytes_per = 2 if mcfg.compute_dtype == "bfloat16" else 4
-    vmem_u = mcfg.hidden * 4 * mcfg.hidden * bytes_per
-    return vmem_u <= 8 * 1024 * 1024
+    csz = 2 if mcfg.compute_dtype == "bfloat16" else 4
+    rsz = 2 if mcfg.residual_dtype == "bfloat16" else 4
+    xsz = csz   # dg/xw stream dtype follows the compute dtype
+    vmem_u = mcfg.hidden * 4 * mcfg.hidden * csz
+    if vmem_u > 8 * 1024 * 1024:
+        return False
+    # backward working set: the double-buffered (B, 4N) g-in (rsz) and
+    # dg-out (xsz) blocks dominate the batch-scaled cost
+    bwd = vmem_u + batch * mcfg.hidden * 8 * (rsz + xsz)
+    return bwd <= 16 * 1024 * 1024
 
 
 def tiled_supported(mcfg: ModelConfig, batch: int) -> bool:
