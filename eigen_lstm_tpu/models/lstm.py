@@ -181,6 +181,17 @@ def _dropout(x: jax.Array, rate: float, key: jax.Array) -> jax.Array:
     )
 
 
+def _drop_seed(key: jax.Array, l: int) -> jax.Array:
+    """(1,) int32 seed for the fused in-kernel dropout mask of layer ``l``
+    (ops/pallas_cell.py _keep_mask). Derived per (step key, layer) so masks
+    differ across layers and training steps."""
+    return (
+        jax.random.bits(jax.random.fold_in(key, l), (), jnp.uint32)
+        .astype(jnp.int32)
+        .reshape(1)
+    )
+
+
 def forward(
     params: LSTMParams,
     ids: jax.Array,               # (S, B) int32 byte ids
@@ -210,6 +221,16 @@ def forward(
     drop = cfg.dropout if dropout_key is not None else 0.0
     embed_fn = getattr(cell_fn, "embed_layer0", None)
     ck = _maybe_chunk(cfg, s)
+    # fused in-kernel dropout: mask applied in the producer kernel's
+    # epilogue and regenerated in its backward prologue — removes XLA's
+    # separate read-mask-write passes over the (S, B, N) hidden streams
+    # (~1.2 GB/step at 3x1024). Different RNG stream than _dropout
+    # (statistically equivalent; both deterministic per step key). The
+    # chunked-remat path keeps the XLA mask (chunk-local timesteps would
+    # decorrelate the fwd/bwd masks).
+    fdrop = (
+        drop > 0.0 and not ck and getattr(cell_fn, "fused_dropout", False)
+    )
     for l, layer in enumerate(params.layers):
         if l == 0 and embed_fn is not None:
             # layer-0 embedding fused into the kernel (no xw stream)
@@ -218,9 +239,14 @@ def forward(
                     lambda x_c, h, c: embed_fn(layer, x_c, h, c, cfg),
                     ids, h0[0], c0[0], ck,
                 )
+            elif fdrop:
+                h_seq, (hT, cT) = embed_fn(
+                    layer, ids, h0[0], c0[0], cfg,
+                    dropout=(drop, _drop_seed(dropout_key, 0)),
+                )
             else:
                 h_seq, (hT, cT) = embed_fn(layer, ids, h0[0], c0[0], cfg)
-            if drop > 0.0:
+            if drop > 0.0 and not fdrop:
                 h_seq = _dropout(
                     h_seq, drop, jax.random.fold_in(dropout_key, 0)
                 )
@@ -253,9 +279,14 @@ def forward(
                 lambda x_c, h, c: scan_fn(layer, x_c, h, c, cfg),
                 xw, h0[l], c0[l], ck,
             )
+        elif fdrop:
+            h_seq, (hT, cT) = scan_fn(
+                layer, xw, h0[l], c0[l], cfg,
+                dropout=(drop, _drop_seed(dropout_key, l)),
+            )
         else:
             h_seq, (hT, cT) = scan_fn(layer, xw, h0[l], c0[l], cfg)
-        if drop > 0.0:
+        if drop > 0.0 and not fdrop:
             h_seq = _dropout(h_seq, drop, jax.random.fold_in(dropout_key, l))
         x = h_seq
         h_last.append(hT)

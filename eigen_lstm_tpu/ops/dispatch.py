@@ -86,17 +86,21 @@ def select_cell_fn(
             return None
         from . import pallas_cell as pc
 
-        if resident_supported(mcfg, batch):
+        resident = resident_supported(mcfg, batch)
+        if resident:
             cell_fn = pc.pallas_scan_layer
         else:
             from .pallas_cell_tiled import pallas_tiled_scan_layer
 
             cell_fn = pallas_tiled_scan_layer
         cell_fn = functools.partial(cell_fn)
+        # the resident kernels fuse inter-layer dropout in-kernel
+        # (models.lstm.forward gates on this; pallas_cell.py _keep_mask)
+        cell_fn.fused_dropout = resident
         if pc.embed_supported(mcfg, batch):
             # expose the fused-embedding layer-0 kernel to models.forward
             cell_fn.embed_layer0 = pc.pallas_embed_layer0
-        elif not resident_supported(mcfg, batch):
+        elif not resident:
             from .pallas_cell_tiled import (
                 pallas_tiled_embed_layer0,
                 tiled_embed_supported,

@@ -67,6 +67,47 @@ def _prec(cdtype):
     return None if jnp.dtype(cdtype) == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
 
+def _shr(x, k):
+    return jax.lax.shift_right_logical(x, jnp.uint32(k))
+
+
+def _fmix32(x):
+    """murmur3 32-bit finalizer: a full-avalanche integer hash."""
+    x = x ^ _shr(x, 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ _shr(x, 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ _shr(x, 16)
+    return x
+
+
+def _keep_mask(seed_ref, tau, shape, row_off, keep_u32):
+    """Deterministic dropout keep-mask for one timestep's (rows, N) block.
+
+    Counter-based hash of (seed, timestep, global element index) — the same
+    integer-VPU RNG the fused sampler uses (hardware-validated). Regenerable:
+    the backward kernel rebuilds the identical mask from (seed, tau) instead
+    of streaming mask bits through HBM, and the bits do not depend on batch
+    half-blocking (``row_off`` keeps element indices global). The TPU's
+    native PRNG (pltpu.prng_random_bits) is deliberately NOT used: the
+    interpreter stubs it to zeros, which would break CPU parity tests and
+    the FD-gradcheck oracle."""
+    base = _fmix32(
+        jax.lax.bitcast_convert_type(seed_ref[0], jnp.uint32)
+        ^ (tau.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    )
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row_off)
+    lanes = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    bits = _fmix32(
+        (rows * jnp.uint32(shape[1]) + lanes) * jnp.uint32(0x85EBCA6B) ^ base
+    )
+    return bits <= jnp.uint32(keep_u32)
+
+
+def _keep_u32(drop: float) -> int:
+    return int((1.0 - drop) * 0xFFFFFFFF)
+
+
 def _cell_fwd(i, o, f, u, c_prev, variant):
     """Elementwise cell update from *activated* gates — the single source of
     the parity-critical carry semantics (reference: destructive c <- tanh(c),
@@ -104,10 +145,20 @@ def _gate_bwd(i, o, f, u, c_t, c_prev, dh_total, dc, variant):
     )
 
 
-def _fwd_kernel(n, variant, cdtype, af, U_ref, xw_ref, h0_ref, c0_ref,
-                hseq_ref, cseq_ref, gseq_ref, h_s, c_s):
+def _fwd_kernel(n, variant, cdtype, af, drop, *refs):
     # ``af``: accumulator dtype — float32 on hardware; float64 only under
     # the interpreter for the FD-gradcheck oracle (utils/gradcheck.py)
+    # ``drop`` > 0 adds a seed input and a masked-output stream: the
+    # inter-layer dropout mask is applied in the epilogue (hdrop_ref), so
+    # the consumer reads a pre-masked stream and XLA's separate
+    # read-mask-write pass over (S, B, N) disappears. The unmasked h_seq
+    # is still written — it is the recurrence residual for backward.
+    if drop > 0.0:
+        (U_ref, xw_ref, h0_ref, c0_ref, seed_ref,
+         hseq_ref, cseq_ref, gseq_ref, hdrop_ref, h_s, c_s) = refs
+    else:
+        (U_ref, xw_ref, h0_ref, c0_ref,
+         hseq_ref, cseq_ref, gseq_ref, h_s, c_s) = refs
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -131,11 +182,24 @@ def _fwd_kernel(n, variant, cdtype, af, U_ref, xw_ref, h0_ref, c0_ref,
     hseq_ref[0] = h.astype(hseq_ref.dtype)
     cseq_ref[0] = c_carry.astype(cseq_ref.dtype)
     gseq_ref[0] = jnp.concatenate([iof, u], axis=-1).astype(gseq_ref.dtype)
+    if drop > 0.0:
+        keep = _keep_mask(seed_ref, t, h.shape, 0, _keep_u32(drop))
+        inv = jnp.asarray(1.0 / (1.0 - drop), af)
+        hdrop_ref[0] = jnp.where(keep, h * inv, 0.0).astype(hdrop_ref.dtype)
 
 
-def _bwd_kernel(n, s, variant, cdtype, af, U_ref, gseq_ref, cseq_ref, cprev_ref,
-                c0_ref, dhseq_ref, dhT_ref, dcT_ref,
-                dgseq_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+def _bwd_kernel(n, s, variant, cdtype, af, drop, *refs):
+    # ``drop`` > 0: the incoming output cotangent is w.r.t. the MASKED
+    # stream; the identical mask is regenerated from (seed, timestep) in
+    # the prologue — dropout backward costs zero extra HBM traffic.
+    if drop > 0.0:
+        (U_ref, gseq_ref, cseq_ref, cprev_ref, c0_ref, seed_ref,
+         dhseq_ref, dhT_ref, dcT_ref,
+         dgseq_ref, dh0_ref, dc0_ref, dh_s, dc_s) = refs
+    else:
+        (U_ref, gseq_ref, cseq_ref, cprev_ref, c0_ref,
+         dhseq_ref, dhT_ref, dcT_ref,
+         dgseq_ref, dh0_ref, dc0_ref, dh_s, dc_s) = refs
     t = pl.program_id(0)           # iteration t processes timestep s-1-t
 
     @pl.when(t == 0)
@@ -156,7 +220,12 @@ def _bwd_kernel(n, s, variant, cdtype, af, U_ref, gseq_ref, cseq_ref, cprev_ref,
         cprev_ref[0].astype(af),
     )
 
-    dh_total = dhseq_ref[0].astype(af) + dh_s[:]
+    dh_cot = dhseq_ref[0].astype(af)
+    if drop > 0.0:
+        keep = _keep_mask(seed_ref, s - 1 - t, dh_cot.shape, 0, _keep_u32(drop))
+        inv = jnp.asarray(1.0 / (1.0 - drop), af)
+        dh_cot = jnp.where(keep, dh_cot * inv, 0.0)
+    dh_total = dh_cot + dh_s[:]
     dgs, dc_next = _gate_bwd(i, o, f, u, c_t, c_prev, dh_total, dc_s[:], variant)
     dg = jnp.concatenate(dgs, axis=-1)
     dgseq_ref[0] = dg.astype(dgseq_ref.dtype)
@@ -176,9 +245,13 @@ def _bwd_kernel(n, s, variant, cdtype, af, U_ref, gseq_ref, cseq_ref, cprev_ref,
 @functools.lru_cache(maxsize=64)
 def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
                     rdtype_name: str, interpret: bool,
-                    vma: tuple = ()):
+                    vma: tuple = (), drop: float = 0.0):
     """Build the custom-VJP fused sequence op for static (S, B, N, ...).
-    ``rdtype``: storage dtype for the saved h/c/g residual sequences."""
+    ``rdtype``: storage dtype for the saved h/c/g residual sequences.
+    ``drop`` > 0 fuses inter-layer dropout: the op takes an extra ``seed``
+    (1,) int32 and its primary output is the MASKED hidden stream (the
+    carried (hT, cT) stay unmasked, matching models.lstm.forward's XLA
+    semantics); the mask is regenerated in backward from the same seed."""
     cdtype = jnp.dtype(cdtype_name).type
     rdtype = jnp.dtype(rdtype_name).type
     # accumulator dtype: float32 on hardware; float64 under the interpreter
@@ -188,27 +261,34 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
     # these are the largest HBM streams of the recurrence ((S*B, 4N) each);
     # bf16 halves their traffic under mixed precision
     xdtype = jnp.bfloat16 if cdtype_name == "bfloat16" else f32
+    seed_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)] if drop > 0.0 else []
 
-    def fwd_call(U, xw, h0, c0):
+    def fwd_call(U, xw, h0, c0, seed=None):
+        drop_out_specs, drop_out_shape = [], []
+        if drop > 0.0:
+            drop_out_specs = [
+                pl.BlockSpec((1, b, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+            ]
+            drop_out_shape = [_sds((s, b, n), rdtype, vma)]
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, n, variant, cdtype, f32),
+            functools.partial(_fwd_kernel, n, variant, cdtype, f32, drop),
             grid=(s,),
             in_specs=[
                 pl.BlockSpec((n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, b, 4 * n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            ] + seed_spec,
             out_specs=[
                 pl.BlockSpec((1, b, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, b, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, b, 4 * n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            ],
+            ] + drop_out_specs,
             out_shape=[
                 _sds((s, b, n), rdtype, vma),
                 _sds((s, b, n), rdtype, vma),
                 _sds((s, b, 4 * n), rdtype, vma),
-            ],
+            ] + drop_out_shape,
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),
                 pltpu.VMEM((b, n), f32),
@@ -221,11 +301,11 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
                 transcendentals=s * b * 5 * n,
             ),
             interpret=interpret,
-        )(U, xw, h0, c0)
+        )(*([U, xw, h0, c0] + ([seed] if drop > 0.0 else [])))
 
-    def bwd_call(U, g_seq, c_seq, c0, dh_seq, dhT, dcT):
+    def bwd_call(U, g_seq, c_seq, c0, dh_seq, dhT, dcT, seed=None):
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, n, s, variant, cdtype, f32),
+            functools.partial(_bwd_kernel, n, s, variant, cdtype, f32, drop),
             grid=(s,),
             in_specs=[
                 pl.BlockSpec((n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -235,6 +315,7 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
                 # the kernel switches to c0 on the first timestep)
                 pl.BlockSpec((1, b, n), lambda t: (jnp.maximum(s - 2 - t, 0), 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ] + seed_spec + [
                 pl.BlockSpec((1, b, n), lambda t: (s - 1 - t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -261,25 +342,25 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
                 transcendentals=s * b * n,
             ),
             interpret=interpret,
-        )(U, g_seq, c_seq, c_seq, c0, dh_seq, dhT, dcT)
+        )(*([U, g_seq, c_seq, c_seq, c0] + ([seed] if drop > 0.0 else [])
+            + [dh_seq, dhT, dcT]))
 
-    @jax.custom_vjp
-    def fused_seq(U, xw, h0, c0):
-        h_seq, c_seq, _ = fwd_call(U, xw, h0, c0)
-        return h_seq, (h_seq[s - 1], c_seq[s - 1])
+    def _fwd_core(U, xw, h0, c0, seed):
+        outs = fwd_call(U, xw, h0, c0, seed)
+        if drop > 0.0:
+            h_seq, c_seq, g_seq, hd_seq = outs
+        else:
+            h_seq, c_seq, g_seq = outs
+            hd_seq = h_seq
+        return h_seq, c_seq, g_seq, hd_seq
 
-    def fused_seq_fwd(U, xw, h0, c0):
-        h_seq, c_seq, g_seq = fwd_call(U, xw, h0, c0)
-        out = (h_seq, (h_seq[s - 1], c_seq[s - 1]))
-        return out, (U, h_seq, c_seq, g_seq, h0, c0)
-
-    def fused_seq_bwd(res, cot):
-        U, h_seq, c_seq, g_seq, h0, c0 = res
+    def _bwd_core(res, cot):
+        U, h_seq, c_seq, g_seq, h0, c0, seed = res
         dh_seq, (dhT, dcT) = cot
         dg_seq, dh0, dc0 = bwd_call(
             U, g_seq, c_seq, c0.astype(f32),
             dh_seq.astype(f32),
-            dhT.astype(f32), dcT.astype(f32),
+            dhT.astype(f32), dcT.astype(f32), seed,
         )
         # dU = sum_t h_{t-1}^T dg_t — one large MXU GEMM over all steps
         h_prev = jnp.concatenate([h0[None].astype(h_seq.dtype), h_seq[:-1]], axis=0)
@@ -296,17 +377,47 @@ def _make_fused_seq(s: int, b: int, n: int, variant: str, cdtype_name: str,
             dc0.astype(c0.dtype),
         )
 
+    if drop > 0.0:
+        @jax.custom_vjp
+        def fused_seq(U, xw, h0, c0, seed):
+            h_seq, c_seq, _, hd_seq = _fwd_core(U, xw, h0, c0, seed)
+            return hd_seq, (h_seq[s - 1], c_seq[s - 1])
+
+        def fused_seq_fwd(U, xw, h0, c0, seed):
+            h_seq, c_seq, g_seq, hd_seq = _fwd_core(U, xw, h0, c0, seed)
+            out = (hd_seq, (h_seq[s - 1], c_seq[s - 1]))
+            return out, (U, h_seq, c_seq, g_seq, h0, c0, seed)
+
+        def fused_seq_bwd(res, cot):
+            return _bwd_core(res, cot) + (None,)
+    else:
+        @jax.custom_vjp
+        def fused_seq(U, xw, h0, c0):
+            h_seq, c_seq, _, _ = _fwd_core(U, xw, h0, c0, None)
+            return h_seq, (h_seq[s - 1], c_seq[s - 1])
+
+        def fused_seq_fwd(U, xw, h0, c0):
+            h_seq, c_seq, g_seq, _ = _fwd_core(U, xw, h0, c0, None)
+            out = (h_seq, (h_seq[s - 1], c_seq[s - 1]))
+            return out, (U, h_seq, c_seq, g_seq, h0, c0, None)
+
+        def fused_seq_bwd(res, cot):
+            return _bwd_core(res, cot)
+
     fused_seq.defvjp(fused_seq_fwd, fused_seq_bwd)
     fused_seq.bwd_call = bwd_call   # reused by the fused-embedding variant
     return fused_seq
 
 
-def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
+def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, dropout=None):
     """Drop-in ``cell_fn`` for ``models.lstm.forward``: same signature and
     semantics as the XLA ``_scan_layer`` (bias pre-folded into xw).
 
     U is pre-cast to the compute dtype so its resident VMEM copy is bf16 in
-    mixed precision — this is what admits N=1024 within the VMEM budget."""
+    mixed precision — this is what admits N=1024 within the VMEM budget.
+
+    ``dropout``: optional ``(rate, seed)`` with seed a (1,) int32 — fuses
+    the layer's output dropout into the kernel (see _make_fused_seq)."""
     s, b, _ = xw.shape
     n = cfg.hidden
     if jnp.dtype(cfg.cdtype) == jnp.float64:
@@ -318,15 +429,20 @@ def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
         )
         xdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         af = jnp.float32
+    drop, seed = dropout if dropout is not None else (0.0, None)
     fn = _make_fused_seq(
         s, b, n, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         jnp.dtype(rdtype).name,
-        _use_interpret(), _vma_of(layer.U, xw, h0, c0),
+        _use_interpret(), _vma_of(layer.U, xw, h0, c0), float(drop),
     )
-    h_seq, (hT, cT) = fn(
+    args = (
         layer.U.astype(cfg.cdtype), xw.astype(xdtype),
         h0.astype(af), c0.astype(af),
     )
+    if drop > 0.0:
+        h_seq, (hT, cT) = fn(*args, seed)
+    else:
+        h_seq, (hT, cT) = fn(*args)
     return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))
 
 
@@ -340,9 +456,13 @@ def pallas_scan_layer(layer, xw, h0, c0, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_embed_kernel(n, m, variant, cdtype, n_split, WU_ref, b_ref, ids_ref,
-                      h0_ref, c0_ref, hseq_ref, cseq_ref, gseq_ref,
-                      h_s, c_s, xh_s):
+def _fwd_embed_kernel(n, m, variant, cdtype, n_split, drop, *refs):
+    if drop > 0.0:
+        (WU_ref, b_ref, ids_ref, h0_ref, c0_ref, seed_ref,
+         hseq_ref, cseq_ref, gseq_ref, hdrop_ref, h_s, c_s, xh_s) = refs
+    else:
+        (WU_ref, b_ref, ids_ref, h0_ref, c0_ref,
+         hseq_ref, cseq_ref, gseq_ref, h_s, c_s, xh_s) = refs
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -387,14 +507,18 @@ def _fwd_embed_kernel(n, m, variant, cdtype, n_split, WU_ref, b_ref, ids_ref,
         gseq_ref[0, sl, :] = jnp.concatenate([iof, u], axis=-1).astype(
             gseq_ref.dtype
         )
+        if drop > 0.0:
+            # row_off keeps element indexing global: masks are invariant
+            # to the n_split batch half-blocking knob
+            keep = _keep_mask(seed_ref, t, h.shape, p * bs, _keep_u32(drop))
+            inv = jnp.asarray(1.0 / (1.0 - drop), jnp.float32)
+            hdrop_ref[0, sl, :] = jnp.where(keep, h * inv, 0.0).astype(
+                hdrop_ref.dtype
+            )
 
 
-def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split, defer,
-                            U_ref, gseq_ref, cseq_ref, cprev_ref, hprev_ref,
-                            c0_ref, h0_ref, ids_ref, dhseq_ref, dhT_ref,
-                            dcT_ref,
-                            dWU_ref, db_ref, dh0_ref, dc0_ref, dh_s, dc_s,
-                            *defer_scratch):
+def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split, defer, drop,
+                            *refs):
     """Reverse-time backward with the weight gradients accumulated
     *in-kernel*: dg never leaves VMEM. Per iteration t (timestep tau=s-1-t),
     the standard gate backward produces dg in registers; then
@@ -411,6 +535,16 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split, defer,
     residual cost, docs/PERFORMANCE.md round 2); the final iteration
     flushes its own dg inline. Same math, same per-timestep accumulation
     order — bitwise-identical gradients."""
+    if drop > 0.0:
+        (U_ref, gseq_ref, cseq_ref, cprev_ref, hprev_ref,
+         c0_ref, h0_ref, ids_ref, seed_ref, dhseq_ref, dhT_ref, dcT_ref,
+         dWU_ref, db_ref, dh0_ref, dc0_ref, dh_s, dc_s,
+         *defer_scratch) = refs
+    else:
+        (U_ref, gseq_ref, cseq_ref, cprev_ref, hprev_ref,
+         c0_ref, h0_ref, ids_ref, dhseq_ref, dhT_ref, dcT_ref,
+         dWU_ref, db_ref, dh0_ref, dc0_ref, dh_s, dc_s,
+         *defer_scratch) = refs
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -456,6 +590,12 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split, defer,
         cprev_ref[0].astype(jnp.float32),
     )
     dh_cot = dhseq_ref[0].astype(jnp.float32)
+    if drop > 0.0:
+        keep = _keep_mask(
+            seed_ref, s - 1 - t, dh_cot.shape, 0, _keep_u32(drop)
+        )
+        inv = jnp.asarray(1.0 / (1.0 - drop), jnp.float32)
+        dh_cot = jnp.where(keep, dh_cot * inv, 0.0)
 
     # per half-block: gate backward (VPU) then the CRITICAL-PATH dh GEMM
     # (MXU), interleaved so block p's GEMM can overlap block p+1's gate
@@ -514,21 +654,32 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split, defer,
 def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                           cdtype_name: str, rdtype_name: str, interpret: bool,
                           n_split: int = 1, vma: tuple = (),
-                          n_split_bwd: int = 1, defer_wgrad: bool = False):
+                          n_split_bwd: int = 1, defer_wgrad: bool = False,
+                          drop: float = 0.0):
     """custom-VJP fused layer-0 sequence op: (WU, b, ids, h0, c0) ->
     (h_seq, (hT, cT)). WU is the stacked (M+N, 4N) weight at the compute
     dtype; backward reuses the standard reverse-time kernel with U = WU[M:]
-    and batches dW/dU/db into large GEMMs/sums outside."""
+    and batches dW/dU/db into large GEMMs/sums outside.
+    ``drop`` > 0: fused output dropout, see _make_fused_seq."""
     cdtype = jnp.dtype(cdtype_name).type
     rdtype = jnp.dtype(rdtype_name).type
     f32 = jnp.float32
     xdtype = jnp.bfloat16 if cdtype_name == "bfloat16" else f32
     base = _make_fused_seq(s, b, n, variant, cdtype_name, rdtype_name,
-                           interpret, vma)
+                           interpret, vma, drop)
+    seed_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)] if drop > 0.0 else []
 
-    def fwd_call(WU, bvec, ids, h0, c0):
+    def fwd_call(WU, bvec, ids, h0, c0, seed=None):
+        drop_out_specs, drop_out_shape = [], []
+        if drop > 0.0:
+            drop_out_specs = [
+                pl.BlockSpec((1, b, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+            ]
+            drop_out_shape = [_sds((s, b, n), rdtype, vma)]
         return pl.pallas_call(
-            functools.partial(_fwd_embed_kernel, n, m, variant, cdtype, n_split),
+            functools.partial(
+                _fwd_embed_kernel, n, m, variant, cdtype, n_split, drop
+            ),
             grid=(s,),
             in_specs=[
                 pl.BlockSpec((m + n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -539,17 +690,17 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            ] + seed_spec,
             out_specs=[
                 pl.BlockSpec((1, b, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, b, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, b, 4 * n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            ],
+            ] + drop_out_specs,
             out_shape=[
                 _sds((s, b, n), rdtype, vma),
                 _sds((s, b, n), rdtype, vma),
                 _sds((s, b, 4 * n), rdtype, vma),
-            ],
+            ] + drop_out_shape,
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),
                 pltpu.VMEM((b, n), f32),
@@ -563,7 +714,7 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                 transcendentals=s * b * 5 * n,
             ),
             interpret=interpret,
-        )(WU, bvec, ids, h0, c0)
+        )(*([WU, bvec, ids, h0, c0] + ([seed] if drop > 0.0 else [])))
 
     # in-kernel weight-grad accumulation needs the f32 dWU output block
     # resident alongside the bwd working set; gate by VMEM. The estimate is
@@ -580,7 +731,8 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
         + 6 * b * n * 4                      # c0/h0/dhT/dcT/dh_s/dc_s
     ) <= 16 * 1024 * 1024
 
-    def bwd_fused_call(WU, g_seq, c_seq, h_seq, ids, h0, c0, dh_seq, dhT, dcT):
+    def bwd_fused_call(WU, g_seq, c_seq, h_seq, ids, h0, c0, dh_seq, dhT, dcT,
+                       seed=None):
         smax = max(s - 2, 0)
         defer_scratch = (
             [pltpu.VMEM((b, 4 * n), cdtype), pltpu.VMEM((b, n), cdtype)]
@@ -589,7 +741,7 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
         return pl.pallas_call(
             functools.partial(
                 _bwd_embed_fused_kernel, n, m, s, variant, cdtype,
-                n_split_bwd, defer_wgrad
+                n_split_bwd, defer_wgrad, drop
             ),
             grid=(s,),
             in_specs=[
@@ -601,6 +753,7 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),      # ids (S, B)
+            ] + seed_spec + [
                 pl.BlockSpec((1, b, n), lambda t: (s - 1 - t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -630,27 +783,27 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                 transcendentals=s * b * n,
             ),
             interpret=interpret,
-        )(WU[m:], g_seq, c_seq, c_seq, h_seq, c0, h0, ids, dh_seq, dhT, dcT)
+        )(*([WU[m:], g_seq, c_seq, c_seq, h_seq, c0, h0, ids]
+            + ([seed] if drop > 0.0 else []) + [dh_seq, dhT, dcT]))
 
-    @jax.custom_vjp
-    def fused_embed_seq(WU, bvec, ids, h0, c0):
-        h_seq, c_seq, _ = fwd_call(WU, bvec, ids, h0, c0)
-        return h_seq, (h_seq[s - 1], c_seq[s - 1])
+    def _fwd_core(WU, bvec, ids, h0, c0, seed):
+        outs = fwd_call(WU, bvec, ids, h0, c0, seed)
+        if drop > 0.0:
+            h_seq, c_seq, g_seq, hd_seq = outs
+        else:
+            h_seq, c_seq, g_seq = outs
+            hd_seq = h_seq
+        return h_seq, c_seq, g_seq, hd_seq
 
-    def fwd(WU, bvec, ids, h0, c0):
-        h_seq, c_seq, g_seq = fwd_call(WU, bvec, ids, h0, c0)
-        out = (h_seq, (h_seq[s - 1], c_seq[s - 1]))
-        return out, (WU, h_seq, c_seq, g_seq, ids, h0, c0)
-
-    def bwd(res, cot):
-        WU, h_seq, c_seq, g_seq, ids, h0, c0 = res
+    def _bwd_core(res, cot):
+        WU, h_seq, c_seq, g_seq, ids, h0, c0, seed = res
         dh_seq, (dhT, dcT) = cot
         if fused_accum_ok:
             dWU, db, dh0, dc0 = bwd_fused_call(
                 WU, g_seq, c_seq, h_seq, ids.astype(jnp.int32),
                 h0.astype(jnp.float32), c0.astype(jnp.float32),
                 dh_seq.astype(jnp.float32),
-                dhT.astype(jnp.float32), dcT.astype(jnp.float32),
+                dhT.astype(jnp.float32), dcT.astype(jnp.float32), seed,
             )
             return (
                 dWU.astype(WU.dtype), db, None,
@@ -661,7 +814,7 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
         dg_seq, dh0, dc0 = base.bwd_call(
             U, g_seq, c_seq, c0.astype(jnp.float32),
             dh_seq.astype(jnp.float32),
-            dhT.astype(jnp.float32), dcT.astype(jnp.float32),
+            dhT.astype(jnp.float32), dcT.astype(jnp.float32), seed,
         )
         dg_flat = dg_seq.reshape(s * b, 4 * n)
         # dU = h_prev^T dg ; dW = onehot(ids)^T dg — both as single GEMMs
@@ -683,6 +836,33 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
         db = jnp.sum(dg_flat.astype(f32), axis=0, keepdims=True)
         return (dWU, db, None, dh0.astype(h0.dtype), dc0.astype(c0.dtype))
 
+    if drop > 0.0:
+        @jax.custom_vjp
+        def fused_embed_seq(WU, bvec, ids, h0, c0, seed):
+            h_seq, c_seq, _, hd_seq = _fwd_core(WU, bvec, ids, h0, c0, seed)
+            return hd_seq, (h_seq[s - 1], c_seq[s - 1])
+
+        def fwd(WU, bvec, ids, h0, c0, seed):
+            h_seq, c_seq, g_seq, hd_seq = _fwd_core(WU, bvec, ids, h0, c0, seed)
+            out = (hd_seq, (h_seq[s - 1], c_seq[s - 1]))
+            return out, (WU, h_seq, c_seq, g_seq, ids, h0, c0, seed)
+
+        def bwd(res, cot):
+            return _bwd_core(res, cot) + (None,)
+    else:
+        @jax.custom_vjp
+        def fused_embed_seq(WU, bvec, ids, h0, c0):
+            h_seq, c_seq, _, _ = _fwd_core(WU, bvec, ids, h0, c0, None)
+            return h_seq, (h_seq[s - 1], c_seq[s - 1])
+
+        def fwd(WU, bvec, ids, h0, c0):
+            h_seq, c_seq, g_seq, _ = _fwd_core(WU, bvec, ids, h0, c0, None)
+            out = (h_seq, (h_seq[s - 1], c_seq[s - 1]))
+            return out, (WU, h_seq, c_seq, g_seq, ids, h0, c0, None)
+
+        def bwd(res, cot):
+            return _bwd_core(res, cot)
+
     fused_embed_seq.defvjp(fwd, bwd)
     return fused_embed_seq
 
@@ -700,11 +880,13 @@ def embed_supported(cfg: ModelConfig, batch: int) -> bool:
     return (m + n) * 4 * n * bytes_per <= 12 * 1024 * 1024
 
 
-def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None):
+def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None,
+                        dropout=None):
     """Layer-0 recurrence with the embedding fused into the kernel.
     ids: (S, B) int32. Same return contract as pallas_scan_layer.
     ``n_split``: batch half-blocking for epilogue/MXU overlap (default from
-    EIGEN_LSTM_BSPLIT, else 1)."""
+    EIGEN_LSTM_BSPLIT, else 1).
+    ``dropout``: optional ``(rate, seed)`` fused output dropout."""
     import os
 
     s, b = ids.shape
@@ -719,16 +901,21 @@ def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None):
     # software-pipelined weight-grad accumulation (dg deferred one
     # iteration so its MXU GEMMs may overlap the next VPU gate backward)
     defer_wgrad = os.environ.get("EIGEN_LSTM_BWD_DEFER", "0") == "1"
+    drop, seed = dropout if dropout is not None else (0.0, None)
     fn = _make_fused_embed_seq(
         s, b, n, m, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
         _use_interpret(), n_split, _vma_of(layer.W, layer.U, ids, h0, c0),
-        n_split_bwd, defer_wgrad,
+        n_split_bwd, defer_wgrad, float(drop),
     )
     WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
     bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)
-    h_seq, (hT, cT) = fn(
+    args = (
         WU, bvec, ids.astype(jnp.int32),
         h0.astype(jnp.float32), c0.astype(jnp.float32),
     )
+    if drop > 0.0:
+        h_seq, (hT, cT) = fn(*args, seed)
+    else:
+        h_seq, (hT, cT) = fn(*args)
     return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))

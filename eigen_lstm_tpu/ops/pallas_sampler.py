@@ -31,21 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .pallas_cell import _cell_fwd, _prec, _use_interpret
-
-
-def _shr(x, k):
-    return jax.lax.shift_right_logical(x, jnp.uint32(k))
-
-
-def _fmix32(x):
-    """murmur3 32-bit finalizer: a full-avalanche integer hash."""
-    x = x ^ _shr(x, 16)
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ _shr(x, 15)
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ _shr(x, 16)
-    return x
+from .pallas_cell import _cell_fwd, _fmix32, _prec, _shr, _use_interpret
 
 
 def _gen_kernel(n, m, n_layers, dmax, variant, cdtype, greedy, inv_t,
