@@ -108,6 +108,31 @@ def _keep_u32(drop: float) -> int:
     return int((1.0 - drop) * 0xFFFFFFFF)
 
 
+def host_keep_mask(seed: int, tau: int, b: int, n: int, drop: float):
+    """Host-side (numpy) oracle of ``_keep_mask`` — bit-identical to the
+    in-kernel hash. Used by the lockstep tests and the hardware regression
+    gate to validate the fused dropout path against explicit masks."""
+    import numpy as np
+
+    def fmix(x):
+        x = x ^ (x >> np.uint32(16))
+        x = (x * np.uint32(0x7FEB352D)).astype(np.uint32)
+        x = x ^ (x >> np.uint32(15))
+        x = (x * np.uint32(0x846CA68B)).astype(np.uint32)
+        return x ^ (x >> np.uint32(16))
+
+    with np.errstate(over="ignore"):
+        base = fmix(
+            np.uint32(seed & 0xFFFFFFFF)
+            ^ (np.uint32(tau) * np.uint32(0x9E3779B9)).astype(np.uint32)
+        )
+        rows = np.arange(b, dtype=np.uint32)[:, None]
+        lanes = np.arange(n, dtype=np.uint32)[None, :]
+        idx = (rows * np.uint32(n) + lanes).astype(np.uint32)
+        bits = fmix((idx * np.uint32(0x85EBCA6B)).astype(np.uint32) ^ base)
+    return bits <= np.uint32(_keep_u32(drop))
+
+
 def _cell_fwd(i, o, f, u, c_prev, variant):
     """Elementwise cell update from *activated* gates — the single source of
     the parity-critical carry semantics (reference: destructive c <- tanh(c),

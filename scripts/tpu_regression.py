@@ -99,6 +99,51 @@ def main():
         ok &= check(f"{name} loss", lp, lx, tol)
         ok &= check(f"{name} gnorm", gp, gx, tol)
 
+    # --- fused in-kernel dropout: Mosaic compile of the mask-hash variants
+    # + grad lockstep vs XLA with the identical masks applied explicitly ---
+    from eigen_lstm_tpu.ops import pallas_cell as pc_mod
+
+    drop = 0.3
+    cfg = ModelConfig(hidden=256, num_layers=2, loss_mode="all",
+                      dropout=drop, seed=0)
+    s, b = 8, 16
+    ids, tg, h0, c0 = data_for(cfg, s, b)
+    dkey = jax.random.PRNGKey(42)
+    cell_fn = select_cell_fn("pallas", cfg, b)
+    assert getattr(cell_fn, "fused_dropout", False)
+    params = model.init_params(cfg)
+    loss_p, grads_p = jax.jit(lambda p: jax.value_and_grad(
+        lambda q: model.loss_fn(q, ids, tg, h0, c0, cfg, cell_fn, dkey)[0]
+    )(p))(params)
+    masks = [
+        np.stack([
+            pc_mod.host_keep_mask(
+                int(np.asarray(model._drop_seed(dkey, l))[0]),
+                t, b, cfg.hidden, drop,
+            )
+            for t in range(s)
+        ])
+        for l in range(cfg.num_layers)
+    ]
+    calls = iter(masks)
+    orig_dropout = model._dropout
+    model._dropout = lambda x, rate, key: jnp.where(
+        jnp.asarray(next(calls)), x / jnp.asarray(1.0 - rate, x.dtype), 0.0
+    )
+    try:
+        loss_x, grads_x = jax.value_and_grad(
+            lambda q: model.loss_fn(q, ids, tg, h0, c0, cfg, None, dkey)[0]
+        )(params)
+    finally:
+        model._dropout = orig_dropout
+    gn_p = np.sqrt(sum(float(np.sum(np.square(np.asarray(g, np.float64))))
+                       for g in jax.tree_util.tree_leaves(grads_p)))
+    gn_x = np.sqrt(sum(float(np.sum(np.square(np.asarray(g, np.float64))))
+                       for g in jax.tree_util.tree_leaves(grads_x)))
+    ok &= check("fused dropout loss (vs masks)", np.asarray(loss_p),
+                np.asarray(loss_x), 1e-4)
+    ok &= check("fused dropout gnorm (vs masks)", gn_p, gn_x, 1e-4)
+
     # --- tp_seq at D=1 (Mosaic lowering of the sequence-level TP kernel) ---
     from jax.sharding import Mesh, PartitionSpec as P
 

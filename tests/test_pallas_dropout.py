@@ -37,31 +37,11 @@ def x64():
     jax.config.update("jax_enable_x64", False)
 
 
-def _np_fmix32(x):
-    x = x ^ (x >> np.uint32(16))
-    x = (x * np.uint32(0x7FEB352D)).astype(np.uint32)
-    x = x ^ (x >> np.uint32(15))
-    x = (x * np.uint32(0x846CA68B)).astype(np.uint32)
-    return x ^ (x >> np.uint32(16))
-
-
-def _np_keep_mask(seed: int, tau: int, b: int, n: int, drop: float):
-    """Numpy replica of ops/pallas_cell._keep_mask (the documented mask)."""
-    with np.errstate(over="ignore"):
-        base = _np_fmix32(
-            np.uint32(seed & 0xFFFFFFFF)
-            ^ (np.uint32(tau) * np.uint32(0x9E3779B9)).astype(np.uint32)
-        )
-        rows = np.arange(b, dtype=np.uint32)[:, None]
-        lanes = np.arange(n, dtype=np.uint32)[None, :]
-        idx = (rows * np.uint32(n) + lanes).astype(np.uint32)
-        bits = _np_fmix32((idx * np.uint32(0x85EBCA6B)).astype(np.uint32) ^ base)
-    return bits <= np.uint32(int((1.0 - drop) * 0xFFFFFFFF))
-
-
 def _np_masks(dkey, l: int, s: int, b: int, n: int, drop: float):
     seed = int(np.asarray(model._drop_seed(dkey, l))[0])
-    return np.stack([_np_keep_mask(seed, t, b, n, drop) for t in range(s)])
+    return np.stack(
+        [pc.host_keep_mask(seed, t, b, n, drop) for t in range(s)]
+    )
 
 
 def _explicit_mask_loss(params, ids, targets, h0, c0, cfg, dkey, masks):
