@@ -50,7 +50,9 @@ def tiled_supported(mcfg: ModelConfig, batch: int) -> bool:
     from .pallas_cell_tiled import pick_tile_width
 
     rdtype = "float32" if mcfg.residual_dtype == "float32" else "bfloat16"
-    return pick_tile_width(mcfg.hidden, batch, mcfg.compute_dtype, rdtype) > 0
+    return pick_tile_width(
+        mcfg.hidden, batch, mcfg.compute_dtype, rdtype, mcfg.dropout > 0.0
+    ) > 0
 
 
 def pallas_supported(
@@ -94,9 +96,10 @@ def select_cell_fn(
 
             cell_fn = pallas_tiled_scan_layer
         cell_fn = functools.partial(cell_fn)
-        # the resident kernels fuse inter-layer dropout in-kernel
-        # (models.lstm.forward gates on this; pallas_cell.py _keep_mask)
-        cell_fn.fused_dropout = resident
+        # both kernel families fuse inter-layer dropout in-kernel with
+        # identical mask bits (models.lstm.forward gates on this;
+        # pallas_cell.py _keep_mask — global element indexing)
+        cell_fn.fused_dropout = True
         if pc.embed_supported(mcfg, batch):
             # expose the fused-embedding layer-0 kernel to models.forward
             cell_fn.embed_layer0 = pc.pallas_embed_layer0

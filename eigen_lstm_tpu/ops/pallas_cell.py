@@ -81,25 +81,32 @@ def _fmix32(x):
     return x
 
 
-def _keep_mask(seed_ref, tau, shape, row_off, keep_u32):
-    """Deterministic dropout keep-mask for one timestep's (rows, N) block.
+def _keep_mask(seed_ref, tau, shape, row_off, keep_u32, col_off=0,
+               n_total=None):
+    """Deterministic dropout keep-mask for a (rows, cols) block of one
+    timestep's (B, N) hidden state.
 
     Counter-based hash of (seed, timestep, global element index) — the same
     integer-VPU RNG the fused sampler uses (hardware-validated). Regenerable:
     the backward kernel rebuilds the identical mask from (seed, tau) instead
-    of streaming mask bits through HBM, and the bits do not depend on batch
-    half-blocking (``row_off`` keeps element indices global). The TPU's
-    native PRNG (pltpu.prng_random_bits) is deliberately NOT used: the
-    interpreter stubs it to zeros, which would break CPU parity tests and
-    the FD-gradcheck oracle."""
+    of streaming mask bits through HBM, and the bits do not depend on how
+    the kernel blocks the state (``row_off``/``col_off``/``n_total`` keep
+    element indices global, so resident and tiled kernels draw identical
+    masks). The TPU's native PRNG (pltpu.prng_random_bits) is deliberately
+    NOT used: the interpreter stubs it to zeros, which would break CPU
+    parity tests and the FD-gradcheck oracle."""
+    if n_total is None:
+        n_total = shape[1]
     base = _fmix32(
         jax.lax.bitcast_convert_type(seed_ref[0], jnp.uint32)
         ^ (tau.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     )
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row_off)
-    lanes = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    lanes = (
+        jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(col_off)
+    )
     bits = _fmix32(
-        (rows * jnp.uint32(shape[1]) + lanes) * jnp.uint32(0x85EBCA6B) ^ base
+        (rows * jnp.uint32(n_total) + lanes) * jnp.uint32(0x85EBCA6B) ^ base
     )
     return bits <= jnp.uint32(keep_u32)
 

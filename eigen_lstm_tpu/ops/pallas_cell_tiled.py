@@ -41,15 +41,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .pallas_cell import _cell_fwd, _gate_bwd, _prec, _use_interpret, _sds, _vma_of
+from .pallas_cell import (
+    _cell_fwd, _gate_bwd, _keep_mask, _keep_u32, _prec, _sds, _use_interpret,
+    _vma_of,
+)
 
 VMEM_BUDGET = 14 * 1024 * 1024   # leave ~2 MB of the ~16 MB VMEM for Mosaic
 
 
-def _fwd_tiled_kernel(n, k_tiles, wt, variant, cdtype,
-                      U_ref, xw_ref, h0_ref, c0_ref,
-                      hseq_ref, cseq_ref, gseq_ref,
-                      h_s, c_s, h_c, g_s):
+def _fwd_tiled_kernel(n, k_tiles, wt, variant, cdtype, drop, *refs):
+    if drop > 0.0:
+        (U_ref, xw_ref, h0_ref, c0_ref, seed_ref,
+         hseq_ref, cseq_ref, gseq_ref, hdrop_ref, h_s, c_s, h_c, g_s) = refs
+    else:
+        (U_ref, xw_ref, h0_ref, c0_ref,
+         hseq_ref, cseq_ref, gseq_ref, h_s, c_s, h_c, g_s) = refs
     t = pl.program_id(0)
     k = pl.program_id(1)
     cpg = n // wt                     # chunks per gate
@@ -88,13 +94,24 @@ def _fwd_tiled_kernel(n, k_tiles, wt, variant, cdtype,
             c_s[:, sl] = c_carry
             hseq_ref[0, :, sl] = h.astype(hseq_ref.dtype)
             cseq_ref[0, :, sl] = c_carry.astype(cseq_ref.dtype)
+            if drop > 0.0:
+                keep = _keep_mask(seed_ref, t, h.shape, 0, _keep_u32(drop),
+                                  col_off=kk * wt, n_total=n)
+                inv = jnp.asarray(1.0 / (1.0 - drop), jnp.float32)
+                hdrop_ref[0, :, sl] = jnp.where(keep, h * inv, 0.0).astype(
+                    hdrop_ref.dtype
+                )
 
 
-def _bwd_tiled_kernel(n, s, k_tiles, wt, variant, cdtype,
-                      U_ref, gseq_ref, cseq_ref, cprev_ref, c0_ref,
-                      dhseq_ref, dhT_ref, dcT_ref,
-                      dgseq_ref, dc0_ref,
-                      g_s, dg_s, dh_acc, dc_s):
+def _bwd_tiled_kernel(n, s, k_tiles, wt, variant, cdtype, drop, *refs):
+    if drop > 0.0:
+        (U_ref, gseq_ref, cseq_ref, cprev_ref, c0_ref, seed_ref,
+         dhseq_ref, dhT_ref, dcT_ref,
+         dgseq_ref, dc0_ref, g_s, dg_s, dh_acc, dc_s) = refs
+    else:
+        (U_ref, gseq_ref, cseq_ref, cprev_ref, c0_ref,
+         dhseq_ref, dhT_ref, dcT_ref,
+         dgseq_ref, dc0_ref, g_s, dg_s, dh_acc, dc_s) = refs
     j = pl.program_id(0)               # row j handles timestep tau = s-1-j;
     k = pl.program_id(1)               # row s only flushes dg for tau = 0
     cpg = n // wt
@@ -142,7 +159,15 @@ def _bwd_tiled_kernel(n, s, k_tiles, wt, variant, cdtype,
             dh_carried = jnp.where(
                 j == 0, dhT_ref[:, sl].astype(jnp.float32), dh_acc[:, sl]
             )
-            dh_total = dhseq_ref[0, :, sl].astype(jnp.float32) + dh_carried
+            dh_cot = dhseq_ref[0, :, sl].astype(jnp.float32)
+            if drop > 0.0:
+                keep = _keep_mask(
+                    seed_ref, s - 1 - j, dh_cot.shape, 0, _keep_u32(drop),
+                    col_off=kk * wt, n_total=n,
+                )
+                inv = jnp.asarray(1.0 / (1.0 - drop), jnp.float32)
+                dh_cot = jnp.where(keep, dh_cot * inv, 0.0)
+            dh_total = dh_cot + dh_carried
             dgs, dc_next = _gate_bwd(
                 i, o, f, u, c_t, c_prev, dh_total, dc_s[:, sl], variant
             )
@@ -152,9 +177,11 @@ def _bwd_tiled_kernel(n, s, k_tiles, wt, variant, cdtype,
             dc0_ref[:, sl] = dc_s[:, sl]    # last-write-wins at j = s-1
 
 
-def pick_tile_width(n: int, b: int, cdtype_name: str, rdtype_name: str) -> int:
+def pick_tile_width(n: int, b: int, cdtype_name: str, rdtype_name: str,
+                    drop: bool = False) -> int:
     """Largest wt in {512, 256, 128} dividing N whose worst-phase (backward)
-    VMEM footprint fits the budget; 0 if none does."""
+    VMEM footprint fits the budget; 0 if none does. ``drop`` adds the fused
+    dropout's double-buffered masked-output block to the forward budget."""
     cbytes = 2 if cdtype_name == "bfloat16" else 4
     rbytes = 2 if rdtype_name == "bfloat16" else 4
     for wt in (512, 256, 128):
@@ -178,6 +205,7 @@ def pick_tile_width(n: int, b: int, cdtype_name: str, rdtype_name: str) -> int:
             + 2 * 2 * b * n * rbytes       # hseq + cseq out blocks
             + 4 * b * wt * (cbytes + rbytes)   # xw in + gseq out chunks
             + 2 * b * n * 4                # h0, c0
+            + (2 * b * n * rbytes if drop else 0)   # hdrop out blocks (x2)
         )
         if max(fwd, bwd) <= VMEM_BUDGET:
             return wt
@@ -187,21 +215,24 @@ def pick_tile_width(n: int, b: int, cdtype_name: str, rdtype_name: str) -> int:
 @functools.lru_cache(maxsize=64)
 def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
                     cdtype_name: str, rdtype_name: str, interpret: bool,
-                    vma: tuple = ()):
-    """Build the custom-VJP tiled sequence op for static (S, B, N, wt)."""
+                    vma: tuple = (), drop: float = 0.0):
+    """Build the custom-VJP tiled sequence op for static (S, B, N, wt).
+    ``drop`` > 0: fused output dropout (see pallas_cell._make_fused_seq) —
+    identical mask bits to the resident kernels (global element indexing)."""
     cdtype = jnp.dtype(cdtype_name).type
     rdtype = jnp.dtype(rdtype_name).type
     f32 = jnp.float32
     xdtype = jnp.bfloat16 if cdtype_name == "bfloat16" else f32
     k_tiles = 4 * n // wt
     assert n % wt == 0, (n, wt)
+    seed_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)] if drop > 0.0 else []
 
     def _tile_u(U):
         # (n, 4n) -> (k_tiles, n, wt): one XLA transpose per step (~2r+w of
         # 2·n·4n bytes, trivial next to streaming U S times)
         return U.reshape(n, k_tiles, wt).transpose(1, 0, 2)
 
-    def fwd_call(U, xw, h0, c0):
+    def fwd_call(U, xw, h0, c0, seed=None):
         # U pre-tiled (k_tiles, n, wt) and xw/gseq in (.., k_tiles, b, wt)
         # layouts so every tile DMA is one contiguous transfer — an (n, wt)
         # column slice of the row-major (n, 4n) layout is n strided wt-wide
@@ -209,25 +240,33 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
         # (docs/PERFORMANCE.md round 2c)
         U = _tile_u(U)
         xw = xw.reshape(s, b, k_tiles, wt).transpose(0, 2, 1, 3)
+        drop_out_specs, drop_out_shape = [], []
+        if drop > 0.0:
+            drop_out_specs = [
+                pl.BlockSpec((1, b, n), lambda t, k: (t, 0, 0), memory_space=pltpu.VMEM)
+            ]
+            drop_out_shape = [_sds((s, b, n), rdtype, vma)]
         return pl.pallas_call(
-            functools.partial(_fwd_tiled_kernel, n, k_tiles, wt, variant, cdtype),
+            functools.partial(
+                _fwd_tiled_kernel, n, k_tiles, wt, variant, cdtype, drop
+            ),
             grid=(s, k_tiles),
             in_specs=[
                 pl.BlockSpec((1, n, wt), lambda t, k: (k, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, b, wt), lambda t, k: (t, k, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            ] + seed_spec,
             out_specs=[
                 pl.BlockSpec((1, b, n), lambda t, k: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, b, n), lambda t, k: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, b, wt), lambda t, k: (t, k, 0, 0), memory_space=pltpu.VMEM),
-            ],
+            ] + drop_out_specs,
             out_shape=[
                 _sds((s, b, n), rdtype, vma),
                 _sds((s, b, n), rdtype, vma),
                 _sds((s, k_tiles, b, wt), rdtype, vma),
-            ],
+            ] + drop_out_shape,
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),           # h carry
                 pltpu.VMEM((b, n), f32),           # c carry
@@ -243,9 +282,9 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
                 transcendentals=2 * s * b * 4 * n,
             ),
             interpret=interpret,
-        )(U, xw, h0, c0)
+        )(*([U, xw, h0, c0] + ([seed] if drop > 0.0 else [])))
 
-    def bwd_call(U, g_seq, c_seq, c0, dh_seq, dhT, dcT):
+    def bwd_call(U, g_seq, c_seq, c0, dh_seq, dhT, dcT, seed=None):
         U = _tile_u(U)
         smax = s - 1
 
@@ -256,7 +295,7 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
 
         return pl.pallas_call(
             functools.partial(
-                _bwd_tiled_kernel, n, s, k_tiles, wt, variant, cdtype
+                _bwd_tiled_kernel, n, s, k_tiles, wt, variant, cdtype, drop
             ),
             grid=(s + 1, k_tiles),
             in_specs=[
@@ -265,6 +304,7 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
                 pl.BlockSpec((1, b, n), lambda j, k: (jnp.clip(s - 1 - j, 0, smax), 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, b, n), lambda j, k: (jnp.clip(s - 2 - j, 0, smax), 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda j, k: (0, 0), memory_space=pltpu.VMEM),
+            ] + seed_spec + [
                 pl.BlockSpec((1, b, n), lambda j, k: (jnp.clip(s - 1 - j, 0, smax), 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda j, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda j, k: (0, 0), memory_space=pltpu.VMEM),
@@ -292,20 +332,20 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
                 transcendentals=s * b * n,
             ),
             interpret=interpret,
-        )(U, g_seq, c_seq, c_seq, c0, dh_seq, dhT, dcT)
+        )(*([U, g_seq, c_seq, c_seq, c0] + ([seed] if drop > 0.0 else [])
+            + [dh_seq, dhT, dcT]))
 
-    @jax.custom_vjp
-    def tiled_seq(U, xw, h0, c0):
-        h_seq, c_seq, _ = fwd_call(U, xw, h0, c0)
-        return h_seq, (h_seq[s - 1], c_seq[s - 1])
+    def _fwd_core(U, xw, h0, c0, seed):
+        outs = fwd_call(U, xw, h0, c0, seed)
+        if drop > 0.0:
+            h_seq, c_seq, g_seq, hd_seq = outs
+        else:
+            h_seq, c_seq, g_seq = outs
+            hd_seq = h_seq
+        return h_seq, c_seq, g_seq, hd_seq
 
-    def tiled_seq_fwd(U, xw, h0, c0):
-        h_seq, c_seq, g_seq = fwd_call(U, xw, h0, c0)
-        out = (h_seq, (h_seq[s - 1], c_seq[s - 1]))
-        return out, (U, h_seq, c_seq, g_seq, h0, c0)
-
-    def tiled_seq_bwd(res, cot):
-        U, h_seq, c_seq, g_seq, h0, c0 = res
+    def _bwd_core(res, cot):
+        U, h_seq, c_seq, g_seq, h0, c0, seed = res
         dh_seq, (dhT, dcT) = cot
         # dg arrives in the kernel's tiled (S, K, B, wt) layout; all its
         # consumers contract with dot_generals that keep that layout (no
@@ -313,7 +353,7 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
         dg_t = bwd_call(
             U, g_seq, c_seq, c0.astype(jnp.float32),
             dh_seq.astype(xdtype),
-            dhT.astype(jnp.float32), dcT.astype(jnp.float32),
+            dhT.astype(jnp.float32), dcT.astype(jnp.float32), seed,
         )
         dg_seq, dc0 = dg_t
         # dh0 = dg_0 @ U^T — the one step the pipelined kernel doesn't chain
@@ -340,6 +380,36 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
             dc0.astype(c0.dtype),
         )
 
+    if drop > 0.0:
+        # masked primary output; the carried (hT, cT) stay unmasked, and the
+        # backward regenerates the mask from (seed, timestep) — exactly the
+        # resident _make_fused_seq contract
+        @jax.custom_vjp
+        def tiled_seq(U, xw, h0, c0, seed):
+            h_seq, c_seq, _, hd_seq = _fwd_core(U, xw, h0, c0, seed)
+            return hd_seq, (h_seq[s - 1], c_seq[s - 1])
+
+        def tiled_seq_fwd(U, xw, h0, c0, seed):
+            h_seq, c_seq, g_seq, hd_seq = _fwd_core(U, xw, h0, c0, seed)
+            out = (hd_seq, (h_seq[s - 1], c_seq[s - 1]))
+            return out, (U, h_seq, c_seq, g_seq, h0, c0, seed)
+
+        def tiled_seq_bwd(res, cot):
+            return _bwd_core(res, cot) + (None,)
+    else:
+        @jax.custom_vjp
+        def tiled_seq(U, xw, h0, c0):
+            h_seq, c_seq, _, _ = _fwd_core(U, xw, h0, c0, None)
+            return h_seq, (h_seq[s - 1], c_seq[s - 1])
+
+        def tiled_seq_fwd(U, xw, h0, c0):
+            h_seq, c_seq, g_seq, _ = _fwd_core(U, xw, h0, c0, None)
+            out = (h_seq, (h_seq[s - 1], c_seq[s - 1]))
+            return out, (U, h_seq, c_seq, g_seq, h0, c0, None)
+
+        def tiled_seq_bwd(res, cot):
+            return _bwd_core(res, cot)
+
     tiled_seq.defvjp(tiled_seq_fwd, tiled_seq_bwd)
     tiled_seq.bwd_call = bwd_call   # reused by the tiled-embed variant
     return tiled_seq
@@ -356,10 +426,13 @@ def _make_tiled_seq(s: int, b: int, n: int, wt: int, variant: str,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_tiled_embed_kernel(n, m, k_tiles, wt, variant, cdtype,
-                            WU_ref, b_ref, ids_ref, h0_ref, c0_ref,
-                            hseq_ref, cseq_ref, gseq_ref,
-                            h_s, c_s, xh_s, g_s):
+def _fwd_tiled_embed_kernel(n, m, k_tiles, wt, variant, cdtype, drop, *refs):
+    if drop > 0.0:
+        (WU_ref, b_ref, ids_ref, h0_ref, c0_ref, seed_ref,
+         hseq_ref, cseq_ref, gseq_ref, hdrop_ref, h_s, c_s, xh_s, g_s) = refs
+    else:
+        (WU_ref, b_ref, ids_ref, h0_ref, c0_ref,
+         hseq_ref, cseq_ref, gseq_ref, h_s, c_s, xh_s, g_s) = refs
     t = pl.program_id(0)
     k = pl.program_id(1)
     cpg = n // wt
@@ -399,10 +472,17 @@ def _fwd_tiled_embed_kernel(n, m, k_tiles, wt, variant, cdtype,
             c_s[:, sl] = c_carry
             hseq_ref[0, :, sl] = h.astype(hseq_ref.dtype)
             cseq_ref[0, :, sl] = c_carry.astype(cseq_ref.dtype)
+            if drop > 0.0:
+                keep = _keep_mask(seed_ref, t, h.shape, 0, _keep_u32(drop),
+                                  col_off=kk * wt, n_total=n)
+                inv = jnp.asarray(1.0 / (1.0 - drop), jnp.float32)
+                hdrop_ref[0, :, sl] = jnp.where(keep, h * inv, 0.0).astype(
+                    hdrop_ref.dtype
+                )
 
 
 def pick_tile_width_embed(n: int, m: int, b: int, cdtype_name: str,
-                          rdtype_name: str) -> int:
+                          rdtype_name: str, drop: bool = False) -> int:
     """Tile width for the tiled-embed forward: like ``pick_tile_width`` but
     the streamed tile is the stacked (M+N, wt) weight and an xh scratch
     replaces the xw chunks. The backward is the shared tiled kernel, so its
@@ -412,7 +492,7 @@ def pick_tile_width_embed(n: int, m: int, b: int, cdtype_name: str,
     for wt in (512, 256, 128):
         if n % wt != 0:
             continue
-        if pick_tile_width(n, b, cdtype_name, rdtype_name) < wt:
+        if pick_tile_width(n, b, cdtype_name, rdtype_name, drop) < wt:
             continue                    # bwd phase budget (shared kernel)
         fwd = (
             2 * (m + n) * wt * cbytes      # stacked WU tile, double-buffered
@@ -422,6 +502,7 @@ def pick_tile_width_embed(n: int, m: int, b: int, cdtype_name: str,
             + 2 * 2 * b * n * rbytes       # hseq + cseq out blocks
             + 2 * b * wt * rbytes          # gseq out chunks (x2 buf)
             + 2 * b * n * 4                # h0, c0
+            + (2 * b * n * rbytes if drop else 0)   # hdrop out blocks (x2)
         )
         if fwd <= VMEM_BUDGET:
             return wt
@@ -431,25 +512,35 @@ def pick_tile_width_embed(n: int, m: int, b: int, cdtype_name: str,
 @functools.lru_cache(maxsize=64)
 def _make_tiled_embed_seq(s: int, b: int, n: int, m: int, wt: int,
                           variant: str, cdtype_name: str, rdtype_name: str,
-                          interpret: bool, vma: tuple = ()):
+                          interpret: bool, vma: tuple = (),
+                          drop: float = 0.0):
     """custom-VJP tiled layer-0 sequence op: (WU, b, ids, h0, c0) ->
     (h_seq, (hT, cT)). WU is the stacked (M+N, 4N) weight at the compute
     dtype; backward reuses the shared tiled reverse-time kernel with
     U = WU[M:], and dW/dU/db are per-tile GEMMs over the kernel's tiled dg
-    layout (no transpose of the gradient stream)."""
+    layout (no transpose of the gradient stream). ``drop`` > 0: fused
+    output dropout as in ``_make_tiled_seq``."""
     cdtype = jnp.dtype(cdtype_name).type
     rdtype = jnp.dtype(rdtype_name).type
     f32 = jnp.float32
     k_tiles = 4 * n // wt
     base = _make_tiled_seq(s, b, n, wt, variant, cdtype_name, rdtype_name,
-                           interpret, vma)
+                           interpret, vma, drop)
+    seed_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)] if drop > 0.0 else []
 
-    def fwd_call(WU, bvec, ids, h0, c0):
+    def fwd_call(WU, bvec, ids, h0, c0, seed=None):
         WU_t = WU.reshape(m + n, k_tiles, wt).transpose(1, 0, 2)
         b_t = bvec.reshape(k_tiles, 1, wt)
+        drop_out_specs, drop_out_shape = [], []
+        if drop > 0.0:
+            drop_out_specs = [
+                pl.BlockSpec((1, b, n), lambda t, k: (t, 0, 0), memory_space=pltpu.VMEM)
+            ]
+            drop_out_shape = [_sds((s, b, n), rdtype, vma)]
         return pl.pallas_call(
             functools.partial(
-                _fwd_tiled_embed_kernel, n, m, k_tiles, wt, variant, cdtype
+                _fwd_tiled_embed_kernel, n, m, k_tiles, wt, variant, cdtype,
+                drop,
             ),
             grid=(s, k_tiles),
             in_specs=[
@@ -458,17 +549,17 @@ def _make_tiled_embed_seq(s: int, b: int, n: int, m: int, wt: int,
                 pl.BlockSpec(memory_space=pltpu.VMEM),     # ids (S, B)
                 pl.BlockSpec((b, n), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, n), lambda t, k: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            ] + seed_spec,
             out_specs=[
                 pl.BlockSpec((1, b, n), lambda t, k: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, b, n), lambda t, k: (t, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, b, wt), lambda t, k: (t, k, 0, 0), memory_space=pltpu.VMEM),
-            ],
+            ] + drop_out_specs,
             out_shape=[
                 _sds((s, b, n), rdtype, vma),
                 _sds((s, b, n), rdtype, vma),
                 _sds((s, k_tiles, b, wt), rdtype, vma),
-            ],
+            ] + drop_out_shape,
             scratch_shapes=[
                 pltpu.VMEM((b, n), f32),
                 pltpu.VMEM((b, n), f32),
@@ -484,27 +575,26 @@ def _make_tiled_embed_seq(s: int, b: int, n: int, m: int, wt: int,
                 transcendentals=2 * s * b * 4 * n,
             ),
             interpret=interpret,
-        )(WU_t, b_t, ids, h0, c0)
+        )(*([WU_t, b_t, ids, h0, c0] + ([seed] if drop > 0.0 else [])))
 
-    @jax.custom_vjp
-    def tiled_embed_seq(WU, bvec, ids, h0, c0):
-        h_seq, c_seq, _ = fwd_call(WU, bvec, ids, h0, c0)
-        return h_seq, (h_seq[s - 1], c_seq[s - 1])
-
-    def fwd(WU, bvec, ids, h0, c0):
-        h_seq, c_seq, g_seq = fwd_call(WU, bvec, ids, h0, c0)
-        out = (h_seq, (h_seq[s - 1], c_seq[s - 1]))
-        return out, (WU, h_seq, c_seq, g_seq, ids, h0, c0)
+    def _fwd_core(WU, bvec, ids, h0, c0, seed):
+        outs = fwd_call(WU, bvec, ids, h0, c0, seed)
+        if drop > 0.0:
+            h_seq, c_seq, g_seq, hd_seq = outs
+        else:
+            h_seq, c_seq, g_seq = outs
+            hd_seq = h_seq
+        return h_seq, c_seq, g_seq, hd_seq
 
     def bwd(res, cot):
-        WU, h_seq, c_seq, g_seq, ids, h0, c0 = res
+        WU, h_seq, c_seq, g_seq, ids, h0, c0, seed = res
         dh_seq, (dhT, dcT) = cot
         U = WU[m:]
         xdtype = jnp.bfloat16 if cdtype_name == "bfloat16" else f32
         dg_seq, dc0 = base.bwd_call(
             U, g_seq, c_seq, c0.astype(f32),
             dh_seq.astype(xdtype),
-            dhT.astype(f32), dcT.astype(f32),
+            dhT.astype(f32), dcT.astype(f32), seed,
         )
         # dh0 = dg_0 @ U^T over the tiled layout
         U_t = U.reshape(n, k_tiles, wt).transpose(1, 0, 2).astype(cdtype)
@@ -533,7 +623,33 @@ def _make_tiled_embed_seq(s: int, b: int, n: int, m: int, wt: int,
         db = jnp.sum(dg_seq.astype(f32), axis=(0, 2)).reshape(1, 4 * n)
         return (dWU, db, None, dh0.astype(h0.dtype), dc0.astype(c0.dtype))
 
-    tiled_embed_seq.defvjp(fwd, bwd)
+    if drop > 0.0:
+        @jax.custom_vjp
+        def tiled_embed_seq(WU, bvec, ids, h0, c0, seed):
+            h_seq, c_seq, _, hd_seq = _fwd_core(WU, bvec, ids, h0, c0, seed)
+            return hd_seq, (h_seq[s - 1], c_seq[s - 1])
+
+        def fwd(WU, bvec, ids, h0, c0, seed):
+            h_seq, c_seq, g_seq, hd_seq = _fwd_core(WU, bvec, ids, h0, c0, seed)
+            out = (hd_seq, (h_seq[s - 1], c_seq[s - 1]))
+            return out, (WU, h_seq, c_seq, g_seq, ids, h0, c0, seed)
+
+        def vjp_bwd(res, cot):
+            return bwd(res, cot) + (None,)
+    else:
+        @jax.custom_vjp
+        def tiled_embed_seq(WU, bvec, ids, h0, c0):
+            h_seq, c_seq, _, _ = _fwd_core(WU, bvec, ids, h0, c0, None)
+            return h_seq, (h_seq[s - 1], c_seq[s - 1])
+
+        def fwd(WU, bvec, ids, h0, c0):
+            h_seq, c_seq, g_seq, _ = _fwd_core(WU, bvec, ids, h0, c0, None)
+            out = (h_seq, (h_seq[s - 1], c_seq[s - 1]))
+            return out, (WU, h_seq, c_seq, g_seq, ids, h0, c0, None)
+
+        vjp_bwd = bwd
+
+    tiled_embed_seq.defvjp(fwd, vjp_bwd)
     return tiled_embed_seq
 
 
@@ -543,52 +659,71 @@ def tiled_embed_supported(cfg: ModelConfig, batch: int) -> bool:
         return False
     rdtype = "float32" if cfg.residual_dtype == "float32" else "bfloat16"
     return pick_tile_width_embed(
-        n, m, batch, jnp.dtype(cfg.cdtype).name, rdtype
+        n, m, batch, jnp.dtype(cfg.cdtype).name, rdtype, cfg.dropout > 0.0
     ) > 0
 
 
-def pallas_tiled_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, wt=None):
+def pallas_tiled_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, wt=None,
+                              dropout=None):
     """Layer-0 recurrence with the embedding fused into the tiled kernel.
-    Same contract as ``pallas_cell.pallas_embed_layer0``."""
+    Same contract as ``pallas_cell.pallas_embed_layer0`` (incl. the
+    ``dropout=(rate, seed)`` fused-output-dropout option)."""
     s, b = ids.shape
     n, m = cfg.hidden, cfg.vocab
     rdtype_name = "float32" if cfg.residual_dtype == "float32" else "bfloat16"
+    drop, seed = dropout if dropout is not None else (0.0, None)
     if wt is None:
         wt = pick_tile_width_embed(
-            n, m, b, jnp.dtype(cfg.cdtype).name, rdtype_name
+            n, m, b, jnp.dtype(cfg.cdtype).name, rdtype_name, drop > 0.0
         )
     if not wt:
         raise ValueError(f"no embed tile width fits VMEM for N={n}, B={b}")
     fn = _make_tiled_embed_seq(
         s, b, n, m, wt, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         rdtype_name, _use_interpret(), _vma_of(layer.W, layer.U, ids, h0, c0),
+        float(drop),
     )
     WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
     bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)
-    h_seq, (hT, cT) = fn(
+    args = (
         WU, bvec, ids.astype(jnp.int32),
         h0.astype(jnp.float32), c0.astype(jnp.float32),
     )
+    if drop > 0.0:
+        h_seq, (hT, cT) = fn(*args, seed)
+    else:
+        h_seq, (hT, cT) = fn(*args)
     return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))
 
 
-def pallas_tiled_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, wt=None):
+def pallas_tiled_scan_layer(layer, xw, h0, c0, cfg: ModelConfig, wt=None,
+                            dropout=None):
     """Drop-in ``cell_fn`` for ``models.lstm.forward`` — same contract as
-    ``pallas_cell.pallas_scan_layer`` but with U streamed in tiles."""
+    ``pallas_cell.pallas_scan_layer`` but with U streamed in tiles.
+    ``dropout``: optional ``(rate, seed)`` — fuses the layer's output
+    dropout into the kernel with the SAME mask bits as the resident kernel
+    (``_keep_mask`` global element indexing)."""
     s, b, _ = xw.shape
     n = cfg.hidden
     rdtype_name = "float32" if cfg.residual_dtype == "float32" else "bfloat16"
+    drop, seed = dropout if dropout is not None else (0.0, None)
     if wt is None:
-        wt = pick_tile_width(n, b, jnp.dtype(cfg.cdtype).name, rdtype_name)
+        wt = pick_tile_width(n, b, jnp.dtype(cfg.cdtype).name, rdtype_name,
+                             drop > 0.0)
     if not wt:
         raise ValueError(f"no tile width fits VMEM for N={n}, B={b}")
     fn = _make_tiled_seq(
         s, b, n, wt, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         rdtype_name, _use_interpret(), _vma_of(layer.U, xw, h0, c0),
+        float(drop),
     )
     xdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    h_seq, (hT, cT) = fn(
+    args = (
         layer.U.astype(cfg.cdtype), xw.astype(xdtype),
         h0.astype(jnp.float32), c0.astype(jnp.float32),
     )
+    if drop > 0.0:
+        h_seq, (hT, cT) = fn(*args, seed)
+    else:
+        h_seq, (hT, cT) = fn(*args)
     return h_seq, (hT.astype(cfg.pdtype), cT.astype(cfg.pdtype))

@@ -210,3 +210,151 @@ def test_trainer_fused_dropout_converges():
     m = tr.run(steps=30, quiet=True)
     assert np.isfinite(m["train_bpc"])
     assert m["train_bpc"] < 6.5  # falling from the 8.0 uniform start
+
+
+# ---------------------------------------------------------------------------
+# Tiled-U kernels (the U > VMEM regime): same fused-dropout contract, same
+# mask BITS — _keep_mask's global element indexing (col_off/n_total) makes
+# the per-chunk masks of the tiled epilogue equal the resident kernel's
+# full-row masks, so the two kernel families are interchangeable mid-run.
+# ---------------------------------------------------------------------------
+
+from eigen_lstm_tpu.ops.pallas_cell_tiled import (  # noqa: E402
+    pallas_tiled_embed_layer0,
+    pallas_tiled_scan_layer,
+)
+
+
+def _tiled_fn(wt=128, embed=False):
+    fn = functools.partial(pallas_tiled_scan_layer, wt=wt)
+    fn.fused_dropout = True
+    if embed:
+        fn.embed_layer0 = functools.partial(pallas_tiled_embed_layer0, wt=wt)
+    return fn
+
+
+def test_tiled_forward_mask_is_documented_hash():
+    """Tiled hdrop == where(np_mask, h/keep, 0) — exercises col_off (two
+    128-wide chunks per gate at N=256, wt=128)."""
+    drop = 0.3
+    cfg = ModelConfig(vocab=256, hidden=256, num_layers=1, dropout=drop,
+                      seed=0)
+    params, ids, targets, h0, c0 = _setup(cfg, 5, 8)
+    dkey = jax.random.PRNGKey(21)
+    cell_fn = _tiled_fn()
+    h_eval, (hT_e, cT_e) = model.forward(params, ids, h0, c0, cfg, cell_fn)
+    h_drop, (hT_d, cT_d) = model.forward(
+        params, ids, h0, c0, cfg, cell_fn, dropout_key=dkey
+    )
+    masks = _np_masks(dkey, 0, 5, 8, cfg.hidden, drop)
+    expect = np.where(masks, np.asarray(h_eval) / (1.0 - drop), 0.0)
+    np.testing.assert_allclose(np.asarray(h_drop), expect, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(hT_d), np.asarray(hT_e))
+    np.testing.assert_array_equal(np.asarray(cT_d), np.asarray(cT_e))
+
+
+def test_tiled_masks_match_resident_bits():
+    """Resident and tiled fused dropout draw IDENTICAL masks from the same
+    (key, layer): the zero-pattern of the two streams is equal bit-for-bit."""
+    drop = 0.4
+    cfg = ModelConfig(vocab=256, hidden=256, num_layers=2, dropout=drop,
+                      seed=1)
+    params, ids, targets, h0, c0 = _setup(cfg, 4, 8)
+    dkey = jax.random.PRNGKey(33)
+    res_fn = functools.partial(pc.pallas_scan_layer)
+    res_fn.fused_dropout = True
+    h_res, _ = model.forward(params, ids, h0, c0, cfg, res_fn,
+                             dropout_key=dkey)
+    h_til, _ = model.forward(params, ids, h0, c0, cfg, _tiled_fn(),
+                             dropout_key=dkey)
+    np.testing.assert_array_equal(
+        np.asarray(h_res) == 0.0, np.asarray(h_til) == 0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_til), np.asarray(h_res), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_tiled_masks_invariant_to_tile_width():
+    """wt=128 vs wt=256 at N=256: different col_off blocking, identical
+    mask bits (global element indexing)."""
+    drop = 0.35
+    cfg = ModelConfig(vocab=256, hidden=256, num_layers=1, dropout=drop,
+                      seed=2)
+    params, ids, targets, h0, c0 = _setup(cfg, 4, 8)
+    dkey = jax.random.PRNGKey(5)
+    h_a, _ = model.forward(params, ids, h0, c0, cfg, _tiled_fn(wt=128),
+                           dropout_key=dkey)
+    h_b, _ = model.forward(params, ids, h0, c0, cfg, _tiled_fn(wt=256),
+                           dropout_key=dkey)
+    np.testing.assert_array_equal(
+        np.asarray(h_a) == 0.0, np.asarray(h_b) == 0.0
+    )
+    np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b), rtol=1e-6)
+
+
+def test_tiled_grad_lockstep_vs_explicit_masks():
+    """fp32: grads through the tiled fused-dropout kernels == grads through
+    XLA with the identical masks applied explicitly."""
+    drop = 0.25
+    cfg = ModelConfig(vocab=256, hidden=128, num_layers=2, loss_mode="all",
+                      dropout=drop, seed=3)
+    s, b = 4, 8
+    params, ids, targets, h0, c0 = _setup(cfg, s, b)
+    dkey = jax.random.PRNGKey(17)
+
+    loss_p, grads_p = jax.value_and_grad(
+        lambda p: model.loss_fn(
+            p, ids, targets, h0, c0, cfg, _tiled_fn(), dkey
+        )[0]
+    )(params)
+
+    masks = [_np_masks(dkey, l, s, b, cfg.hidden, drop) for l in range(2)]
+    loss_x, grads_x = jax.value_and_grad(
+        lambda p: _explicit_mask_loss(
+            p, ids, targets, h0, c0, cfg, dkey, masks
+        )
+    )(params)
+
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-5)
+    for (path, a), b_ in zip(
+        jax.tree_util.tree_flatten_with_path(grads_p)[0],
+        jax.tree_util.tree_leaves(grads_x),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5,
+            err_msg=str(path),
+        )
+
+
+def test_tiled_embed_dropout_grad_lockstep():
+    """The tiled-embed layer-0 kernel's fused dropout (fwd epilogue + shared
+    tiled backward) against the explicit-mask XLA oracle, fp32."""
+    drop = 0.4
+    cfg = ModelConfig(vocab=256, hidden=128, num_layers=1, loss_mode="all",
+                      dropout=drop, seed=5)
+    s, b = 4, 8
+    params, ids, targets, h0, c0 = _setup(cfg, s, b)
+    dkey = jax.random.PRNGKey(13)
+
+    cell_fn = _tiled_fn(embed=True)
+    loss_p, grads_p = jax.value_and_grad(
+        lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg, cell_fn, dkey)[0]
+    )(params)
+
+    masks = [_np_masks(dkey, 0, s, b, cfg.hidden, drop)]
+    loss_x, grads_x = jax.value_and_grad(
+        lambda p: _explicit_mask_loss(
+            p, ids, targets, h0, c0, cfg, dkey, masks
+        )
+    )(params)
+
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-5)
+    for (path, a), b_ in zip(
+        jax.tree_util.tree_flatten_with_path(grads_p)[0],
+        jax.tree_util.tree_leaves(grads_x),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5,
+            err_msg=str(path),
+        )
