@@ -197,6 +197,50 @@ def test_adagrad_matches_manual():
     np.testing.assert_allclose(np.asarray(p2["w"]), p_exp, rtol=1e-6)
 
 
+def test_kill_resume_trajectory_bit_identical(tmp_path):
+    """A kill/resume is a no-op on the training trajectory: 40 uninterrupted
+    steps vs 20 steps -> save -> fresh process -> restore -> 20 steps land on
+    bit-identical params, Adagrad state, cursors, and RNG key. The checkpoint
+    carries the full state (params + m + cursors + stream h/c + rng_key,
+    trainer.save), which the reference loses across restarts — its final
+    driver reloads weights only (class_CUDA/lstm.cc:154,188-238). Dropout is
+    on so the restored rng_key/step also drive the mask streams identically."""
+    mcfg = ModelConfig(hidden=32, num_layers=2, loss_mode="all", seed=0,
+                       dropout=0.25)
+    control = make_trainer(mcfg=mcfg)
+    control.run(steps=40, quiet=True)
+
+    tr = make_trainer(mcfg=mcfg)
+    tr.run(steps=20, quiet=True)
+    path = str(tmp_path / "ck.npz")
+    tr.save(path)
+    resumed = make_trainer(mcfg=mcfg)      # fresh init, as after a kill
+    resumed.restore(path)
+    resumed.run(steps=20, quiet=True)
+
+    assert resumed.step == control.step
+    for name in ("Why", "by"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(resumed.state.params, name)),
+            np.asarray(getattr(control.state.params, name)), err_msg=name)
+    for l in range(mcfg.num_layers):
+        for name in ("W", "U", "b"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(resumed.state.params.layers[l], name)),
+                np.asarray(getattr(control.state.params.layers[l], name)),
+                err_msg=f"layers[{l}].{name}")
+            np.testing.assert_array_equal(
+                np.asarray(getattr(resumed.state.m.layers[l], name)),
+                np.asarray(getattr(control.state.m.layers[l], name)),
+                err_msg=f"m.layers[{l}].{name}")
+    np.testing.assert_array_equal(np.asarray(resumed.state.positions),
+                                  np.asarray(control.state.positions))
+    np.testing.assert_array_equal(np.asarray(resumed.state.key),
+                                  np.asarray(control.state.key))
+    np.testing.assert_array_equal(np.asarray(resumed.state.h),
+                                  np.asarray(control.state.h))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tr = make_trainer()
     tr.run(steps=20, quiet=True)
