@@ -261,6 +261,7 @@ class Trainer:
         self.test_np = test_data
         self.cell_fn = cell_fn
         self.crosscheck_failures = 0
+        self._best_bpc = None   # seeded lazily by _best_test_bpc()
         self.feeder = None
         self._next_windows = None
         self._windows_sharding = None
@@ -635,6 +636,25 @@ class Trainer:
             "ok": ok,
         }
 
+    def _best_test_bpc(self) -> float:
+        """Best held-out bpc seen by ``ckpt_best.npz`` — seeded from the
+        existing file's metadata so a resumed run never clobbers a better
+        historical snapshot with a worse post-restart eval."""
+        if self._best_bpc is None:
+            self._best_bpc = float("inf")
+            if self.tcfg.checkpoint_dir:
+                path = f"{self.tcfg.checkpoint_dir}/ckpt_best.npz"
+                if os.path.exists(path):
+                    try:
+                        import json as _json
+
+                        with np.load(path) as z:
+                            meta = _json.loads(bytes(z["meta/json"]).decode())
+                        self._best_bpc = float(meta.get("test_bpc", "inf"))
+                    except Exception:
+                        pass        # unreadable best file: treat as absent
+        return self._best_bpc
+
     def report_eval(self, wall_s: float, chars_done: int, quiet: bool = False):
         """Timed held-out eval + results row + checkpoint + sample — the
         reference's every-900 s block (``class_CUDA/lstm.cc:188-238``)."""
@@ -666,6 +686,14 @@ class Trainer:
             )
         if self.tcfg.checkpoint_dir:
             self.save(f"{self.tcfg.checkpoint_dir}/ckpt.npz")
+            # retain the best-held-out snapshot separately: ckpt.npz is
+            # overwritten every interval, so a late training spike would
+            # otherwise destroy the scoreboard artifact (the reference
+            # keeps only the rolling save, class_CUDA/lstm.cc:224-228)
+            if test_bpc < self._best_test_bpc():
+                self._best_bpc = test_bpc
+                self.save(f"{self.tcfg.checkpoint_dir}/ckpt_best.npz",
+                          extra_meta={"test_bpc": float(test_bpc)})
             if self.tcfg.sample_chars:
                 # periodic sample dump, as the reference writes
                 # models/*_sample.txt every eval interval
@@ -730,7 +758,7 @@ class Trainer:
             )
         return ok
 
-    def save(self, path: str):
+    def save(self, path: str, extra_meta: Optional[Dict] = None):
         ckpt_mod.save_checkpoint(
             path,
             self.canonical_params(),
@@ -740,7 +768,8 @@ class Trainer:
             stream_h=self.state.h,
             stream_c=self.state.c,
             rng_key=self.state.key,
-            meta={"hidden": self.mcfg.hidden, "num_layers": self.mcfg.num_layers},
+            meta={"hidden": self.mcfg.hidden,
+                  "num_layers": self.mcfg.num_layers, **(extra_meta or {})},
         )
 
     def restore(self, path: str):

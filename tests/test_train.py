@@ -264,6 +264,39 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(tr2.last_metrics["train_bpc"])
 
 
+def test_best_checkpoint_retained(tmp_path, monkeypatch):
+    """ckpt_best.npz tracks the best held-out eval and survives both later
+    worse evals (training spikes) and resumed runs (best seeded from the
+    file's metadata, so a post-restart eval can't clobber it)."""
+    import eigen_lstm_tpu.train.evaluator as eval_mod
+
+    tcfg = TrainConfig(lr=0.1, superstep=10, steps=100, eval_every_s=1e9,
+                       checkpoint_dir=str(tmp_path), sample_chars=0)
+    tr = make_trainer(tcfg=tcfg)
+    tr.run(steps=10, quiet=True)
+
+    fake = {"v": 3.0}
+    monkeypatch.setattr(eval_mod, "evaluate_bpc",
+                        lambda *a, **k: fake["v"])
+    tr.report_eval(1.0, 100, quiet=True)
+    best = tmp_path / "ckpt_best.npz"
+    assert best.exists()
+    stamp = best.stat().st_mtime_ns
+    fake["v"] = 3.5                      # worse eval: best must survive
+    tr.report_eval(2.0, 200, quiet=True)
+    assert best.stat().st_mtime_ns == stamp
+    fake["v"] = 2.5                      # better eval: best replaced
+    tr.report_eval(3.0, 300, quiet=True)
+    assert best.stat().st_mtime_ns != stamp
+
+    tr2 = make_trainer(tcfg=tcfg)        # resumed process, fresh object
+    assert tr2._best_test_bpc() == 2.5   # seeded from ckpt_best meta
+    stamp2 = best.stat().st_mtime_ns
+    fake["v"] = 2.75                     # worse than historical best
+    tr2.report_eval(1.0, 100, quiet=True)
+    assert best.stat().st_mtime_ns == stamp2
+
+
 def test_checkpoint_shape_mismatch_rejected(tmp_path):
     tr = make_trainer()
     path = str(tmp_path / "ck.npz")
