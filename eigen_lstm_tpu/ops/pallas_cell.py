@@ -97,8 +97,12 @@ def _keep_mask(seed_ref, tau, shape, row_off, keep_u32, col_off=0,
     parity tests and the FD-gradcheck oracle."""
     if n_total is None:
         n_total = shape[1]
+    # scalar int32 -> uint32 must be astype (two's-complement wrap, same
+    # bits): Mosaic's tpu.bitcast only lowers VECTOR operands on hardware,
+    # and a scalar lax.bitcast_convert_type fails verification at H>=1
+    # (interpret mode accepts it, which is why only the TPU gate sees it)
     base = _fmix32(
-        jax.lax.bitcast_convert_type(seed_ref[0], jnp.uint32)
+        seed_ref[0].astype(jnp.uint32)
         ^ (tau.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     )
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row_off)
