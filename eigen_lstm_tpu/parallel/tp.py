@@ -43,12 +43,15 @@ def _pvary_if_invariant(x, axis: str):
     the reset noise is device-varying by value (the key folds in
     ``axis_index``), but depending on what else fed the key (e.g. streamed
     windows) the tracer may or may not carry the axis in its vma set."""
-    if not hasattr(jax.lax, "pvary"):
-        return x
     vma = getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
     if axis in vma:
         return x
-    return jax.lax.pvary(x, (axis,))
+    # prefer the new name (pcast); pvary is deprecated and will disappear
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis,), to="varying")
+    if hasattr(jax.lax, "pvary"):
+        return jax.lax.pvary(x, (axis,))
+    return x
 
 
 def _gate_permutation(n: int, ndev: int) -> np.ndarray:
