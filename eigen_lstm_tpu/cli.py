@@ -119,6 +119,11 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--gradcheck", action="store_true",
                    help="run a numerical gradient check before training "
                         "(reference runs one per epoch, class_batch/lstm.cc:323-337)")
+    p.add_argument("--gradcheck-every", type=int, default=None, metavar="K",
+                   help="every K supersteps, run the finite-difference "
+                        "gradient oracle on the live training point against "
+                        "the active backend's backward (the reference's "
+                        "per-epoch gradcheck, lstm_eigen_class/lstm.cc:114-146)")
     p.add_argument("--crosscheck", type=int, default=None, metavar="K",
                    help="every K supersteps, compare the Pallas kernel's "
                         "loss/grad-norm against the XLA scan at the live "
@@ -203,6 +208,7 @@ def _configs(args):
         checkpoint_dir=args.ckpt_dir,
         pp_chunks=getattr(args, "pp_chunks", 4),
         crosscheck_every=getattr(args, "crosscheck", None),
+        gradcheck_every=getattr(args, "gradcheck_every", None),
         seed=args.seed + 1,
     )
     return mcfg, dcfg, tcfg

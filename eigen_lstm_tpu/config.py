@@ -149,6 +149,12 @@ class TrainConfig:
     crosscheck_every: Optional[int] = None  # run the pallas-vs-xla runtime
     # lockstep compare every this many supersteps (reference runs Eigen and
     # CUDA side by side every step, lstm_eigen_CUDA/lstm.cu:425-496)
+    gradcheck_every: Optional[int] = None  # run the finite-difference
+    # gradient oracle on the live training point every this many supersteps —
+    # the reference's per-epoch mid-training gradcheck
+    # (lstm_eigen_class/lstm.cc:114-115,146; class_batch/lstm.cc:323-337)
+    gradcheck_samples: int = 20   # FD samples per tensor on the cadence
+    # (the startup --gradcheck uses more; class_batch/lstm.h:203-245 uses 100)
     seed: int = 1234
 
 

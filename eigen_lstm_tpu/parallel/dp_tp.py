@@ -76,10 +76,20 @@ def make_dp_tp_superstep(
 
     def inner(state: TrainState, xs):
         x, t = window_fn(state, xs)
+        # per-step dropout key: decorrelated per data shard (each trains its
+        # own streams), invariant over "model" (the full hidden sequence is
+        # replicated there — every model shard must draw the same mask)
+        dkey = None
+        if mcfg.dropout > 0.0:
+            dkey = jax.random.fold_in(
+                jax.random.fold_in(state.key, state.step),
+                jax.lax.axis_index("data"),
+            )
 
         def loss_of(p):
             loss, aux = tp_mod.tp_loss_fn(
-                p, x, t, state.h, state.c, mcfg, "model", backend
+                p, x, t, state.h, state.c, mcfg, "model", backend,
+                dropout_key=dkey,
             )
             # the global objective: mean over every data shard — its
             # collective transpose yields globally-averaged gradients

@@ -119,10 +119,20 @@ def pp_loss_fn(
     cfg: ModelConfig,
     n_chunks: int,
     axis: str = "stage",
+    dropout_key=None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
     """Pipelined forward + softmax-CE loss (both loss modes).
     Returns (loss, (hT, cT, mean_bits)); loss/mean_bits replicated across
-    stages, hT/cT shard-local final recurrent state (for stream carry)."""
+    stages, hT/cT shard-local final recurrent state (for stream carry).
+
+    ``dropout_key``: train-mode inter-layer + pre-head dropout (Zaremba'14,
+    models.lstm.forward). Each layer's output chunk is masked by the stage
+    that computes it before being handed up the ring, so the next stage
+    consumes dropped activations exactly as the single-device stack does.
+    The key is folded with (global layer index, chunk index) for an
+    independent Bernoulli draw per activation element — a different
+    (statistically equivalent) stream than the single-device (S, B, N) draw
+    (same convention as DP's per-shard fold)."""
     s, b_ = ids.shape
     n = cfg.hidden
     n_stages = jax.lax.axis_size(axis)
@@ -171,6 +181,15 @@ def pp_loss_fn(
             else:
                 xw = xw_hidden + bvec
             h_seq, hT, cT = cell_scan(xw, h[j], c[j], pp.U[j])
+            if dropout_key is not None and cfg.dropout > 0.0:
+                # mask this (global layer, chunk)'s output before it feeds
+                # the next layer / the ring / the head (recurrent hT/cT stay
+                # unmasked, as in models.lstm.forward)
+                key_lj = jax.random.fold_in(
+                    dropout_key,
+                    (sidx * lps + j) * n_chunks + chunk_idx,
+                )
+                h_seq = model._dropout(h_seq, cfg.dropout, key_lj)
             x = h_seq
             new_h.append(jnp.where(active, hT, h[j]))
             new_c.append(jnp.where(active, cT, c[j]))
@@ -315,9 +334,18 @@ def make_pp_superstep(
 
     def inner(state: TrainState, xs):
         x, t = window_fn(state, xs)
+        # per-step dropout key, stage-invariant (each stage folds its own
+        # global layer index inside pp_loss_fn)
+        dkey = (
+            jax.random.fold_in(state.key, state.step)
+            if mcfg.dropout > 0.0 else None
+        )
 
         def loss_of(q):
-            return pp_loss_fn(q, x, t, state.h, state.c, mcfg, n_chunks, axis)
+            return pp_loss_fn(
+                q, x, t, state.h, state.c, mcfg, n_chunks, axis,
+                dropout_key=dkey,
+            )
 
         (loss, (h2, c2, bits)), grads = jax.value_and_grad(
             loss_of, has_aux=True
@@ -437,10 +465,19 @@ def make_dp_pp_superstep(
 
     def inner(state: TrainState, xs):
         x, t = window_fn(state, xs)
+        # per-step dropout key: decorrelated per data shard (each trains its
+        # own batch slice), stage-invariant (pp_loss_fn folds layer indices)
+        dkey = None
+        if mcfg.dropout > 0.0:
+            dkey = jax.random.fold_in(
+                jax.random.fold_in(state.key, state.step),
+                jax.lax.axis_index(data_axis),
+            )
 
         def loss_of(q):
             loss, (h2, c2, bits) = pp_loss_fn(
-                q, x, t, state.h, state.c, mcfg, n_chunks, stage_axis
+                q, x, t, state.h, state.c, mcfg, n_chunks, stage_axis,
+                dropout_key=dkey,
             )
             # global objective: mean over data shards — its transpose yields
             # globally-averaged gradients (see parallel/dp_tp.py)

@@ -62,6 +62,7 @@ def sp_loss_fn(
     cell_fn=None,
     tp_axis: str = None,
     tp_backend: str = "xla",
+    dropout_key=None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
     """Pipelined forward + softmax-CE loss over time segments.
     Returns (loss, (hT, cT, mean_bits)) — all replicated across the axis
@@ -72,7 +73,17 @@ def sp_loss_fn(
     recurrent state sharded N/Dm per device), the head is the row-sharded
     ``tp.tp_head_logits``, and the carries handed up the seq ring are the
     model-axis *shards* (ppermute moves (L, bs, N/Dm) — Dm-fold less ICI
-    traffic than unsharded SP)."""
+    traffic than unsharded SP).
+
+    ``dropout_key``: train-mode inter-layer + pre-head dropout. Each
+    (time segment, batch microchunk) draws its own mask stream — the key is
+    folded with ``sidx * n_chunks + j`` so every activation element gets an
+    independent Bernoulli draw, deterministically per step key. This is a
+    *different* (statistically equivalent) stream than the single-device
+    (S, B, N) draw, so dropout>0 SP runs are valid but not bit-identical to
+    single-device dropout runs (same convention as DP's per-shard fold).
+    Must be model-axis-invariant under ``tp_axis`` (mask applies to the
+    all-gathered full hidden sequence)."""
     s, b_ = ids.shape
     d = jax.lax.axis_size(axis)
     sidx = jax.lax.axis_index(axis)
@@ -101,6 +112,11 @@ def sp_loss_fn(
 
         my_ids = jax.lax.dynamic_index_in_dim(ids_chunks, j, 0, False)
         my_tgt = jax.lax.dynamic_index_in_dim(tgt_chunks, j, 0, False)
+        # per-(segment, microchunk) dropout stream (see docstring)
+        seg_key = (
+            jax.random.fold_in(dropout_key, sidx * n_chunks + j)
+            if dropout_key is not None else None
+        )
         # segment 0 starts from the window's initial state (chunk j's
         # slice); later segments start from the carry handed up the ring
         h0_j = jax.lax.dynamic_slice_in_dim(h0, j * bs, bs, 1)
@@ -110,7 +126,8 @@ def sp_loss_fn(
 
         if tp_axis is not None:
             h_top, (hT, cT) = tp_mod.tp_stack_forward(
-                params, my_ids, h_in, c_in, cfg, tp_axis, tp_backend
+                params, my_ids, h_in, c_in, cfg, tp_axis, tp_backend,
+                dropout_key=seg_key,
             )
 
             def head(hrows):
@@ -119,7 +136,8 @@ def sp_loss_fn(
                 return y.reshape(*hrows.shape[:-1], cfg.vocab)
         else:
             h_top, (hT, cT) = model.forward(
-                params, my_ids, h_in, c_in, cfg, cell_fn=cell_fn
+                params, my_ids, h_in, c_in, cfg, cell_fn=cell_fn,
+                dropout_key=seg_key,
             )
 
             def head(hrows):
@@ -274,9 +292,12 @@ def make_sp_superstep(
         def window_fn(state, _):
             return corpus_mod.make_windows(corpus, state.positions, seq)
 
-    def loss_grad_fn(params, x, t, h, c):
+    def loss_grad_fn(params, x, t, h, c, dropout_key=None):
         def loss_of(p):
-            return sp_loss_fn(p, x, t, h, c, mcfg, n_chunks, axis, cell_fn)
+            return sp_loss_fn(
+                p, x, t, h, c, mcfg, n_chunks, axis, cell_fn,
+                dropout_key=dropout_key,
+            )
 
         # differentiate wrt an explicitly device-varying copy of the
         # replicated params; each device's grads are its pipeline-segment
@@ -381,9 +402,19 @@ def make_dp_sp_superstep(
         def window_fn(state, _):
             return corpus_mod.make_windows(corpus, state.positions, seq)
 
-    def loss_grad_fn(params, x, t, h, c):
+    def loss_grad_fn(params, x, t, h, c, dropout_key=None):
+        # decorrelate the mask stream per data shard (each trains its own
+        # batch slice — the DP convention, parallel/dp.py)
+        if dropout_key is not None:
+            dropout_key = jax.random.fold_in(
+                dropout_key, jax.lax.axis_index(data_axis)
+            )
+
         def loss_of(p):
-            return sp_loss_fn(p, x, t, h, c, mcfg, n_chunks, seq_axis, cell_fn)
+            return sp_loss_fn(
+                p, x, t, h, c, mcfg, n_chunks, seq_axis, cell_fn,
+                dropout_key=dropout_key,
+            )
 
         # params enter varying on BOTH axes: their cotangents pick up the
         # data axis from the batch-sharded inputs, and the seq axis from the
@@ -489,11 +520,15 @@ def make_tp_sp_superstep(
         def window_fn(state, _):
             return corpus_mod.make_windows(corpus, state.positions, seq)
 
-    def loss_grad_fn(params, x, t, h, c):
+    def loss_grad_fn(params, x, t, h, c, dropout_key=None):
+        # dropout_key stays model-axis-invariant: the mask applies to the
+        # all-gathered full hidden sequence (tp.tp_stack_forward)
+
         def loss_of(p):
             return sp_loss_fn(
                 p, x, t, h, c, mcfg, n_chunks, seq_axis, cell_fn,
                 tp_axis=model_axis, tp_backend=backend,
+                dropout_key=dropout_key,
             )
 
         # params are model-sharded (varying over model) but seq-invariant;

