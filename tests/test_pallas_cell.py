@@ -246,3 +246,87 @@ def test_embed_bwd_bsplit_matches_unsplit(monkeypatch):
             )
     finally:
         pc._make_fused_embed_seq.cache_clear()
+
+
+@pytest.mark.parametrize("drop", [0.0, 0.4])
+def test_embed_bwd_unroll2_matches_unroll1(monkeypatch, drop):
+    """EIGEN_LSTM_BWD_UNROLL=2 processes two timesteps per grid iteration
+    (backward scheduling attempt 4 — tau1's wgrad GEMMs issued between its
+    dh GEMM and tau0's VPU gate backward). Same GEMMs, same per-timestep
+    accumulation order: loss and every gradient must match the unroll-1
+    kernel exactly, with and without fused dropout."""
+    from eigen_lstm_tpu.ops import pallas_cell as pc
+
+    cfg = ModelConfig(
+        vocab=32, hidden=16, num_layers=1, loss_mode="all", seed=0,
+        dropout=drop,
+    )
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(1)
+    s, b = 6, 16
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    h0, c0 = model.init_state(cfg, b)
+    import functools as ft
+
+    cell_fn = ft.partial(pc.pallas_scan_layer)
+    cell_fn.embed_layer0 = pc.pallas_embed_layer0
+    cell_fn.fused_dropout = True
+    dkey = jax.random.PRNGKey(7) if drop > 0.0 else None
+
+    def loss_grads_with(unroll):
+        monkeypatch.setenv("EIGEN_LSTM_BWD_UNROLL", str(unroll))
+        pc._make_fused_embed_seq.cache_clear()
+        return jax.value_and_grad(
+            lambda p: model.loss_fn(
+                p, ids, targets, h0, c0, cfg, cell_fn, dkey
+            )[0]
+        )(params)
+
+    try:
+        l1, g1 = loss_grads_with(1)
+        l2, g2 = loss_grads_with(2)
+        assert float(l1) == float(l2)
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), rtol=1e-6, atol=1e-7
+            )
+    finally:
+        pc._make_fused_embed_seq.cache_clear()
+
+
+def test_embed_bwd_unroll2_odd_s_falls_back(monkeypatch):
+    """Odd S cannot unroll by 2 — the knob must silently fall back to the
+    unroll-1 kernel rather than miscompute or crash."""
+    from eigen_lstm_tpu.ops import pallas_cell as pc
+
+    cfg = ModelConfig(vocab=32, hidden=16, num_layers=1, loss_mode="all", seed=0)
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(2)
+    s, b = 5, 16
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    h0, c0 = model.init_state(cfg, b)
+    import functools as ft
+
+    cell_fn = ft.partial(pc.pallas_scan_layer)
+    cell_fn.embed_layer0 = pc.pallas_embed_layer0
+
+    def grads_with(unroll):
+        monkeypatch.setenv("EIGEN_LSTM_BWD_UNROLL", str(unroll))
+        pc._make_fused_embed_seq.cache_clear()
+        return jax.grad(
+            lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg, cell_fn)[0]
+        )(params)
+
+    try:
+        g1 = grads_with(1)
+        g2 = grads_with(2)
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+        ):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a))
+    finally:
+        pc._make_fused_embed_seq.cache_clear()
