@@ -43,6 +43,10 @@ def _add_model_args(p: argparse.ArgumentParser):
                    help="inter-layer + pre-head dropout rate (training only; "
                         "the reference has no regularization — rebuild "
                         "extension for held-out quality on small corpora)")
+    p.add_argument("--tie-embeddings", action="store_true",
+                   help="share the softmax head Why^T as the input embedding "
+                        "(layer 0 gets an (N, 4N) projection; rebuild "
+                        "regularization extension — see ModelConfig)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--embedding", choices=["auto", "gather", "onehot"], default="auto",
                    help="layer-0 W-x path: auto = gather fwd + one-hot-GEMM bwd")
@@ -160,6 +164,7 @@ def _configs(args):
         forget_bias=args.forget_bias,
         embedding_mode=args.embedding,
         dropout=getattr(args, "dropout", 0.0),
+        tie_embeddings=getattr(args, "tie_embeddings", False),
         scan_chunk=getattr(args, "scan_chunk", 0),
         seed=args.seed,
     )

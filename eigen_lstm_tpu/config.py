@@ -75,6 +75,16 @@ class ModelConfig:
     # measured S>=1000 slowdown (docs/PERFORMANCE.md long-context: both
     # kernels run ~25% more ns/char once the per-window residual streams
     # reach ~0.5 GB). 0 = off. Applies to any cell backend (XLA or Pallas).
+    tie_embeddings: bool = False  # share the softmax head Why (N, M) as the
+    # input embedding: layer 0 consumes e_t = Why^T[id] (N-dim) through a
+    # (N, 4N) input projection instead of a separate (M, 4N) one-hot weight.
+    # Implemented as the in-graph substitution W_eff = Why^T @ W0 (an
+    # (M, 4N) GEMM, tiny), so the one-hot/gather embedding machinery and the
+    # fused-embed Pallas kernel run unchanged and AD chains dW_eff into both
+    # Why and W0. A rebuild extension (the reference always unties); a
+    # regularization lever for corpora far smaller than enwik8 — note at
+    # N >> M it trades the (M, 4N) embed for a larger (N, 4N) projection.
+    # Supported on the single-device and DP training paths.
     dropout: float = 0.0          # inter-layer + pre-head dropout rate
     # (training only; eval/sampling always run the full net). The reference
     # has no regularization of any kind (SURVEY.md §2.2) — this is a rebuild

@@ -68,7 +68,9 @@ def init_params(cfg: ModelConfig, key: Optional[jax.Array] = None) -> LSTMParams
     n, m, dt = cfg.hidden, cfg.vocab, cfg.pdtype
     layers = []
     for l in range(cfg.num_layers):
-        in_dim = m if l == 0 else n
+        # tied: layer 0 consumes the (N-dim) shared embedding Why^T[id]
+        # through an (N, 4N) projection (see ModelConfig.tie_embeddings)
+        in_dim = n if (l == 0 and cfg.tie_embeddings) else (m if l == 0 else n)
         key, kw, ku = jax.random.split(key, 3)
         W = (jax.random.normal(kw, (in_dim, 4 * n)) * cfg.init_std).astype(dt)
         U = (jax.random.normal(ku, (n, 4 * n)) * cfg.init_std).astype(dt)
@@ -192,6 +194,25 @@ def _drop_seed(key: jax.Array, l: int) -> jax.Array:
     )
 
 
+def _substitute_tied_embed(params: LSTMParams, cfg: ModelConfig) -> LSTMParams:
+    """Tied embeddings (ModelConfig.tie_embeddings): replace layer-0's input
+    weight with ``W_eff = Why^T @ W0`` — (M, N) @ (N, 4N), a tiny GEMM — so
+    byte id ``i``'s gate contribution is ``Why^T[i] @ W0``, i.e. the shared
+    embedding row pushed through the input projection. Everything downstream
+    (one-hot/gather embedding modes, the fused-embed Pallas kernel and its
+    custom VJP) sees an ordinary (M, 4N) weight; AD chains dW_eff back into
+    both Why and W0. No-op when untied."""
+    if not cfg.tie_embeddings:
+        return params
+    l0 = params.layers[0]
+    w_eff = cell_ops.matmul(
+        params.Why.T, l0.W, cfg.cdtype, cfg.adtype
+    ).astype(cfg.pdtype)
+    return dataclasses.replace(
+        params, layers=(dataclasses.replace(l0, W=w_eff),) + params.layers[1:]
+    )
+
+
 def forward(
     params: LSTMParams,
     ids: jax.Array,               # (S, B) int32 byte ids
@@ -231,6 +252,7 @@ def forward(
     fdrop = (
         drop > 0.0 and not ck and getattr(cell_fn, "fused_dropout", False)
     )
+    params = _substitute_tied_embed(params, cfg)
     for l, layer in enumerate(params.layers):
         if l == 0 and embed_fn is not None:
             # layer-0 embedding fused into the kernel (no xw stream)
@@ -361,6 +383,7 @@ def forward_step(
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Single-timestep advance — the sampling/eval path
     (``class_CUDA/lstm.cc:636-654``). Returns (logits (B, M), (h, c))."""
+    params = _substitute_tied_embed(params, cfg)
     x = None
     hs, cs = [], []
     for l, layer in enumerate(params.layers):

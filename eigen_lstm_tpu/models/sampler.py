@@ -47,8 +47,11 @@ def sample_ids(
             and (on_tpu or backend == "pallas")
         )
         if ok:
+            # tied embeddings: the kernel packs layer weights directly, so
+            # hand it the substituted (M, 4N) effective layer-0 weight
             return ps.pallas_sample_ids(
-                params, cfg, key, first, h0, c0, length, temperature
+                model._substitute_tied_embed(params, cfg), cfg, key,
+                first, h0, c0, length, temperature
             )
         if backend == "pallas":
             raise ValueError("fused sampler unsupported for this config")

@@ -254,6 +254,14 @@ class Trainer:
         ``streaming.load_corpus_mmap`` for corpora that rival HBM) and feeds
         windows per superstep, double-buffered (data/streaming.py)."""
         self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
+        if mcfg.tie_embeddings and mesh is not None and parallel != "dp":
+            # the parallel loss_fns reference layer-0 weights directly (TP
+            # shards them, PP stages them away from the head) — the tied
+            # substitution is only plumbed through models.lstm.forward
+            raise ValueError(
+                "tie_embeddings is supported on the single-device and DP "
+                f"training paths, not parallel={parallel!r}"
+            )
         self.train_np = train_data
         self.test_np = test_data
         self.cell_fn = cell_fn

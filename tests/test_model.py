@@ -4,6 +4,8 @@ Models the reference's built-in behavioral verification (SURVEY.md §4) as a
 real pytest suite.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -220,3 +222,90 @@ def test_scan_chunk_remat_parity():
     l_bad = float(model.loss_fn(params, ids, tg, h0, c0, cfg_bad)[0])
     l_ref = float(model.loss_fn(params, ids, tg, h0, c0, cfg0)[0])
     np.testing.assert_allclose(l_bad, l_ref, rtol=1e-6)
+
+
+def test_tied_embeddings_shapes_and_sharing():
+    """tie_embeddings: layer-0 projection is (N, 4N); the Why gradient picks
+    up BOTH the head cotangent and the embedding cotangent (it must differ
+    from an untied twin whose head sees the identical forward)."""
+    cfg = ModelConfig(
+        vocab=16, hidden=8, num_layers=1, loss_mode="all", seed=0,
+        tie_embeddings=True,
+    )
+    params = model.init_params(cfg)
+    assert params.layers[0].W.shape == (8, 32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (5, 3)), jnp.int32)
+    tg = jnp.asarray(rng.integers(0, cfg.vocab, (5, 3)), jnp.int32)
+    h0, c0 = model.init_state(cfg, 3)
+    g = jax.grad(lambda p: model.loss_fn(p, ids, tg, h0, c0, cfg)[0])(params)
+
+    # head-only Why gradient: freeze the embedding side by substituting the
+    # tied W_eff as a constant, then differentiate wrt Why through the head
+    w_eff = model._substitute_tied_embed(params, cfg).layers[0].W
+    cfg_untied = dataclasses.replace(cfg, tie_embeddings=False)
+    p_untied = dataclasses.replace(
+        params,
+        layers=(dataclasses.replace(params.layers[0], W=w_eff),),
+    )
+    g_head = jax.grad(
+        lambda why: model.loss_fn(
+            dataclasses.replace(p_untied, Why=why), ids, tg, h0, c0,
+            cfg_untied,
+        )[0]
+    )(params.Why)
+    # forwards identical...
+    l_tied = float(model.loss_fn(params, ids, tg, h0, c0, cfg)[0])
+    l_untied = float(model.loss_fn(p_untied, ids, tg, h0, c0, cfg_untied)[0])
+    np.testing.assert_allclose(l_tied, l_untied, rtol=1e-6)
+    # ...but the tied Why gradient carries the extra embedding term
+    diff = float(jnp.max(jnp.abs(g.Why - g_head)))
+    assert diff > 1e-7, "tied Why gradient missing the embedding cotangent"
+
+
+def test_tied_embeddings_trains_and_samples():
+    """A tied model learns (bpc falls) through the full Trainer and the
+    sampler consumes its checkpointed params (the CLI user path)."""
+    from eigen_lstm_tpu import DataConfig, TrainConfig
+    from eigen_lstm_tpu.data import corpus as corpus_mod
+    from eigen_lstm_tpu.models import sampler as smod
+    from eigen_lstm_tpu.train.trainer import Trainer
+
+    data = np.tile(np.arange(65, 91, dtype=np.uint8), 300)
+    train, test = corpus_mod.split(data, 0.9)
+    mcfg = ModelConfig(
+        hidden=32, num_layers=1, loss_mode="all", seed=1, tie_embeddings=True
+    )
+    dcfg = DataConfig(batch=8, seq=16, train_percent=0.9)
+    tcfg = TrainConfig(lr=0.1, superstep=10, steps=200, eval_every_s=1e9)
+    tr = Trainer(mcfg, dcfg, tcfg, train, test)
+    tr.state, m0 = tr.superstep(tr.state)
+    first = float(m0["bits_mean"])
+    tr.run(quiet=True)
+    assert tr.last_metrics["train_bpc"] < first - 2.0
+    ids, _ = smod.sample_ids(
+        tr.canonical_params(), mcfg, jax.random.PRNGKey(0),
+        jnp.full((4,), 65, jnp.int32), *model.init_state(mcfg, 4),
+        20, temperature=0.0,
+    )
+    assert ids.shape == (20, 4)
+
+
+def test_tied_embeddings_parallel_gate():
+    """tie_embeddings composes with DP (model.loss_fn is the per-shard loss)
+    but must refuse the parallel modes whose loss_fns touch layer-0 weights
+    directly (TP shards them; PP stages them away from the head)."""
+    from eigen_lstm_tpu import DataConfig, TrainConfig
+    from eigen_lstm_tpu.parallel.mesh import make_mesh
+    from eigen_lstm_tpu.train.trainer import Trainer
+
+    data = np.tile(np.arange(65, 91, dtype=np.uint8), 300)
+    mcfg = ModelConfig(hidden=16, num_layers=1, seed=1, tie_embeddings=True)
+    dcfg = DataConfig(batch=8, seq=8, train_percent=1.0)
+    tcfg = TrainConfig(lr=0.1, superstep=2, steps=4, eval_every_s=1e9)
+    tr = Trainer(mcfg, dcfg, tcfg, data, None, mesh=make_mesh(4), parallel="dp")
+    tr.run(steps=4, quiet=True)
+    assert np.isfinite(tr.last_metrics["train_bpc"])
+    with pytest.raises(ValueError, match="tie_embeddings"):
+        Trainer(mcfg, dcfg, tcfg, data, None,
+                mesh=make_mesh(4, axis="model"), parallel="tp")

@@ -330,3 +330,39 @@ def test_embed_bwd_unroll2_odd_s_falls_back(monkeypatch):
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a))
     finally:
         pc._make_fused_embed_seq.cache_clear()
+
+
+def test_tied_embeddings_pallas_embed_matches_xla():
+    """Tied models run the fused-embed kernel unchanged (the substitution
+    hands it an ordinary (M, 4N) effective weight): loss and every gradient
+    must match the XLA path of the same tied model."""
+    from eigen_lstm_tpu.ops import pallas_cell as pc
+
+    cfg = ModelConfig(
+        vocab=128, hidden=128, num_layers=1, loss_mode="all", seed=0,
+        tie_embeddings=True,
+    )
+    params = model.init_params(cfg)
+    rng = np.random.default_rng(3)
+    s, b = 6, 16
+    ids = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (s, b)), jnp.int32)
+    h0, c0 = model.init_state(cfg, b)
+    import functools as ft
+
+    cell_fn = ft.partial(pc.pallas_scan_layer)
+    cell_fn.embed_layer0 = pc.pallas_embed_layer0
+
+    l_x, g_x = jax.value_and_grad(
+        lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg)[0]
+    )(params)
+    l_p, g_p = jax.value_and_grad(
+        lambda p: model.loss_fn(p, ids, targets, h0, c0, cfg, cell_fn)[0]
+    )(params)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-5)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(g_x), jax.tree_util.tree_leaves(g_p)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=2e-4, atol=1e-5
+        )
