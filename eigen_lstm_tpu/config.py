@@ -84,7 +84,9 @@ class ModelConfig:
     # Why and W0. A rebuild extension (the reference always unties); a
     # regularization lever for corpora far smaller than enwik8 — note at
     # N >> M it trades the (M, 4N) embed for a larger (N, 4N) projection.
-    # Supported on the single-device and DP training paths.
+    # Supported everywhere except pipeline parallelism (PP stages the head
+    # and the embedding onto different devices); TP shards the substitution
+    # (parallel/tp.py tp_stack_forward).
     dropout: float = 0.0          # inter-layer + pre-head dropout rate
     # (training only; eval/sampling always run the full net). The reference
     # has no regularization of any kind (SURVEY.md §2.2) — this is a rebuild

@@ -181,8 +181,22 @@ def tp_stack_forward(
     h_last, c_last = [], []
     for l, layer in enumerate(params.layers):
         if l == 0:
+            W0 = layer.W
+            if cfg.tie_embeddings:
+                # tied embeddings under TP: Why rows are plain-chunked over
+                # the model axis, so an all_gather restores the (N, M) head;
+                # its transpose (the shared embedding) pushed through the
+                # gate-sharded projection gives the local effective (M, 4N/D)
+                # embed weight (models.lstm._substitute_tied_embed, sharded).
+                # The gather's transpose reduce-scatters dWhy correctly.
+                why_full = jax.lax.all_gather(
+                    params.Why, axis, axis=0, tiled=True
+                )
+                W0 = cell_ops.matmul(
+                    why_full.T, W0, cfg.cdtype, cfg.adtype
+                ).astype(W0.dtype)
             # W_d is column-sharded: the gather yields the local xw shard
-            xw = layer.W[ids].astype(cfg.adtype) + layer.b.astype(cfg.adtype)
+            xw = W0[ids].astype(cfg.adtype) + layer.b.astype(cfg.adtype)
         else:
             flat = x_full.reshape(s * b_, -1)
             xw = cell_ops.matmul(flat, layer.W, cfg.cdtype).reshape(s, b_, -1)

@@ -254,13 +254,16 @@ class Trainer:
         ``streaming.load_corpus_mmap`` for corpora that rival HBM) and feeds
         windows per superstep, double-buffered (data/streaming.py)."""
         self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
-        if mcfg.tie_embeddings and mesh is not None and parallel != "dp":
-            # the parallel loss_fns reference layer-0 weights directly (TP
-            # shards them, PP stages them away from the head) — the tied
-            # substitution is only plumbed through models.lstm.forward
+        if mcfg.tie_embeddings and mesh is not None and parallel in ("pp", "dp_pp"):
+            # PP stages layer 0 and the head onto different devices — the
+            # tied weight cannot be shared across stages without replicating
+            # Why through the ring. Every other mode routes through
+            # models.lstm.forward (single-device, DP, SP families) or the
+            # TP layer-0 substitution (tp_stack_forward).
             raise ValueError(
-                "tie_embeddings is supported on the single-device and DP "
-                f"training paths, not parallel={parallel!r}"
+                "tie_embeddings is not supported under pipeline parallelism "
+                f"(parallel={parallel!r}): the head and the embedding live "
+                "on different stages"
             )
         self.train_np = train_data
         self.test_np = test_data
@@ -574,7 +577,10 @@ class Trainer:
                 self.crosscheck(quiet=quiet)
             if (
                 self.tcfg.gradcheck_every
-                and self.parallel is None
+                # gradcheck runs on the canonical (gathered) params through
+                # the oracle loss, so DP composes; other modes would check a
+                # different function than they train
+                and (self.parallel is None or self.parallel == "dp")
                 and (k + 1) % self.tcfg.gradcheck_every == 0
             ):
                 # the reference's per-epoch mid-training FD oracle

@@ -291,21 +291,40 @@ def test_tied_embeddings_trains_and_samples():
     assert ids.shape == (20, 4)
 
 
-def test_tied_embeddings_parallel_gate():
-    """tie_embeddings composes with DP (model.loss_fn is the per-shard loss)
-    but must refuse the parallel modes whose loss_fns touch layer-0 weights
-    directly (TP shards them; PP stages them away from the head)."""
+def test_tied_embeddings_parallel_modes():
+    """tie_embeddings trains under DP, TP (sharded substitution,
+    parallel/tp.py) and SP (routes through model.forward) with trajectories
+    matching the single-device tied model; PP is refused (the head and the
+    embedding live on different stages)."""
     from eigen_lstm_tpu import DataConfig, TrainConfig
     from eigen_lstm_tpu.parallel.mesh import make_mesh
     from eigen_lstm_tpu.train.trainer import Trainer
 
     data = np.tile(np.arange(65, 91, dtype=np.uint8), 300)
-    mcfg = ModelConfig(hidden=16, num_layers=1, seed=1, tie_embeddings=True)
+    mcfg = ModelConfig(
+        hidden=16, num_layers=1, loss_mode="all", seed=1, tie_embeddings=True
+    )
     dcfg = DataConfig(batch=8, seq=8, train_percent=1.0)
-    tcfg = TrainConfig(lr=0.1, superstep=2, steps=4, eval_every_s=1e9)
-    tr = Trainer(mcfg, dcfg, tcfg, data, None, mesh=make_mesh(4), parallel="dp")
-    tr.run(steps=4, quiet=True)
-    assert np.isfinite(tr.last_metrics["train_bpc"])
+    tcfg = TrainConfig(lr=0.1, superstep=2, steps=6, eval_every_s=1e9, seed=7)
+
+    single = Trainer(mcfg, dcfg, tcfg, data, None)
+    single.run(quiet=True)
+    ref = jax.tree_util.tree_leaves(single.canonical_params())
+
+    for mode, mesh in (
+        ("dp", make_mesh(4)),
+        ("tp", make_mesh(4, axis="model")),
+        ("sp", make_mesh(4, axis="seq")),
+    ):
+        tr = Trainer(mcfg, dcfg, tcfg, data, None, mesh=mesh, parallel=mode)
+        tr.run(quiet=True)
+        for a, b in zip(ref, jax.tree_util.tree_leaves(tr.canonical_params())):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-5, atol=1e-5, err_msg=mode,
+            )
+
+    mcfg2 = dataclasses.replace(mcfg, num_layers=2)
     with pytest.raises(ValueError, match="tie_embeddings"):
-        Trainer(mcfg, dcfg, tcfg, data, None,
-                mesh=make_mesh(4, axis="model"), parallel="tp")
+        Trainer(mcfg2, dcfg, tcfg, data, None,
+                mesh=make_mesh(2, axis="stage"), parallel="pp")
