@@ -10,6 +10,7 @@ host↔device roundtrip (each costs ~45 ms over a tunneled TPU).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Tuple
 
@@ -36,6 +37,12 @@ def sample_ids(
     ``backend="auto"`` uses the fused Pallas generation kernel
     (ops/pallas_sampler.py) on TPU when the model fits its VMEM gate —
     the XLA scan is latency-chain bound per token; "xla" forces the scan."""
+    if cfg.tie_embeddings:
+        # hoist the tied substitution (Why^T @ W0) out of the per-token
+        # loop: done once here, every downstream path (fused kernel packing,
+        # the XLA scan's forward_step) sees ordinary untied params
+        params = model._substitute_tied_embed(params, cfg)
+        cfg = dataclasses.replace(cfg, tie_embeddings=False)
     if backend in ("auto", "pallas"):
         import jax as _jax
 
@@ -47,11 +54,8 @@ def sample_ids(
             and (on_tpu or backend == "pallas")
         )
         if ok:
-            # tied embeddings: the kernel packs layer weights directly, so
-            # hand it the substituted (M, 4N) effective layer-0 weight
             return ps.pallas_sample_ids(
-                model._substitute_tied_embed(params, cfg), cfg, key,
-                first, h0, c0, length, temperature
+                params, cfg, key, first, h0, c0, length, temperature
             )
         if backend == "pallas":
             raise ValueError("fused sampler unsupported for this config")
@@ -108,6 +112,10 @@ def sample_text(
     """Host convenience: prime with a byte string, generate, decode latin-1
     (byte-transparent). Mirrors the per-epoch sample dumps the reference
     writes to ``models/*_sample.txt`` (``class_CUDA/lstm.cc:230-235``)."""
+    if cfg.tie_embeddings:
+        # substitute once for the prime loop; sample_ids then sees untied
+        params = model._substitute_tied_embed(params, cfg)
+        cfg = dataclasses.replace(cfg, tie_embeddings=False)
     h, c = model.init_state(cfg, 1)
     # feed the priming bytes (all but last) to warm the state
     for byte in prime[:-1]:

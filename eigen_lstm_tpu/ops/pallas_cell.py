@@ -791,7 +791,10 @@ def _bwd_embed_unroll2_kernel(n, m, s, variant, cdtype, n_split, drop, *refs):
     wgrad(dg0, (cols == ids0[:, None]).astype(cdtype),
           h_prev0.astype(cdtype))
 
-    db_ref[:] += db_accs[0] + db_accs[1]
+    # two separate += in timestep order: bitwise-identical db to the
+    # unroll-1 kernel's one-accumulation-per-iteration sequence
+    db_ref[:] += db_accs[0]
+    db_ref[:] += db_accs[1]
     dh0_ref[:] = dh_s[:]
     dc0_ref[:] = dc_s[:]
 
@@ -941,7 +944,30 @@ def _make_fused_embed_seq(s: int, b: int, n: int, m: int, variant: str,
             hd_seq = h_seq
         return h_seq, c_seq, g_seq, hd_seq
 
-    use_unroll2 = unroll == 2 and s % 2 == 0 and not defer_wgrad
+    # the unroll-2 kernel's per-iteration working set is larger: double-size
+    # (2, b, ·) time blocks for g/c/dh plus two extra h streams (hcur,
+    # hprev), all double-buffered — gate it separately so an oversized
+    # config falls back to unroll-1 instead of a Mosaic scoped-vmem error
+    unroll2_vmem_ok = (
+        (m + n) * 4 * n * 4                                    # dWU f32 block
+        + n * 4 * n * (2 if cdtype_name == "bfloat16" else 4)  # U resident
+        + 2 * 2 * b * 4 * n * rbytes                           # gseq (2,b,4N) x2buf
+        + 2 * 2 * b * n * rbytes * 4                           # cseq/cprev/hcur/hprev
+        + 2 * 2 * b * n * 4                                    # dhseq f32 x2buf
+        + 6 * b * n * 4                                        # c0/h0/dhT/dcT/dh_s/dc_s
+    ) <= 16 * 1024 * 1024
+    use_unroll2 = (
+        unroll == 2 and s % 2 == 0 and not defer_wgrad and unroll2_vmem_ok
+    )
+    if unroll == 2 and not use_unroll2:
+        # trace-time, once per (shape, config) via the lru_cache: an A/B
+        # arm must be able to tell from its log that the knob fell back
+        print(
+            f"[pallas_cell] EIGEN_LSTM_BWD_UNROLL=2 requested but falling "
+            f"back to unroll-1 (s={s} even={s % 2 == 0}, "
+            f"defer={defer_wgrad}, vmem_ok={unroll2_vmem_ok})",
+            flush=True,
+        )
 
     def bwd_unroll2_call(WU, g_seq, c_seq, h_seq, ids, h0, c0, dh_seq,
                          dhT, dcT, seed=None):

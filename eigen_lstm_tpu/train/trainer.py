@@ -254,6 +254,20 @@ class Trainer:
         ``streaming.load_corpus_mmap`` for corpora that rival HBM) and feeds
         windows per superstep, double-buffered (data/streaming.py)."""
         self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
+        if (
+            tcfg.gradcheck_every
+            and mesh is not None
+            and parallel not in (None, "dp")
+        ):
+            # don't let the advertised FD safety net silently not run
+            print(
+                f"[gradcheck] WARNING: --gradcheck-every is ignored under "
+                f"parallel={parallel!r} (the oracle checks the canonical "
+                f"params through models.lstm.loss_fn, which only matches "
+                f"the single-device/DP training function); use --crosscheck "
+                f"for backend policing in this mode",
+                flush=True,
+            )
         if mcfg.tie_embeddings and mesh is not None and parallel in ("pp", "dp_pp"):
             # PP stages layer 0 and the head onto different devices — the
             # tied weight cannot be shared across stages without replicating
@@ -587,7 +601,7 @@ class Trainer:
                 # (lstm_eigen_class/lstm.cc:114-115,146)
                 self.gradcheck(
                     samples_per_tensor=self.tcfg.gradcheck_samples,
-                    quiet=quiet,
+                    quiet=quiet, rel_floor=1e-4,
                 )
             if (
                 self.test_np is not None
@@ -756,6 +770,7 @@ class Trainer:
         quiet: bool = False,
         check_seq: int = 16,
         check_batch: int = 8,
+        rel_floor: float = 0.0,
     ) -> bool:
         """Numerical gradient check at the current training point — the
         reference runs this once per epoch mid-training
@@ -772,11 +787,19 @@ class Trainer:
           VJP when a kernel backend is active), so a planted bug in a
           hand-written backward is caught directly.
         * **fp32/bf16 config** (production): the check runs on an fp64
-          *shadow* — params upcast under ``jax.experimental.enable_x64`` and
-          differentiated through the XLA oracle path (which includes the
-          hand-written embedding VJP, ops/cell.py). This polices the model
-          math; the live kernel backward is policed against that oracle by
-          ``--crosscheck`` (FD → fp64 oracle → kernel closes the chain).
+          *shadow* — params upcast under scoped x64 and differentiated
+          through the XLA oracle path (which includes the hand-written
+          embedding VJP, ops/cell.py), pinned to the host CPU backend:
+          v5e has no native f64, and the FD loop's ~2*samples sequential
+          loss evals would each pay the ~45 ms tunnel roundtrip. This
+          polices the model math; the live kernel backward is policed
+          against that oracle by ``--crosscheck`` (FD → fp64 oracle →
+          kernel closes the chain).
+
+        ``rel_floor``: per-leaf relative FD floor (utils/gradcheck.py).
+        0 for the at-init parity oracle; the mid-run cadence passes 1e-4
+        (trained models hold entries ~1e8x below the leaf's gradient scale
+        whose central differences are pure truncation noise).
         """
         from ..utils import gradcheck as gc
 
@@ -794,29 +817,39 @@ class Trainer:
 
             results = gc.check_gradients(
                 jax.jit(scalar_loss), cparams, jax.grad(scalar_loss)(cparams),
-                samples_per_tensor=samples_per_tensor, rel_floor=1e-4,
+                samples_per_tensor=samples_per_tensor, rel_floor=rel_floor,
             )
         else:
             cfg64 = dataclasses.replace(
                 self.mcfg, param_dtype="float64", compute_dtype="float64",
                 residual_dtype="float64", dropout=0.0,
             )
-            with jax.enable_x64(True):
-                to64 = lambda a: jnp.asarray(np.asarray(a, np.float64))
-                p64 = jax.tree_util.tree_map(to64, cparams)
-                h64, c64 = to64(h), to64(c)
-                x64_ids = jnp.asarray(np.asarray(x), jnp.int32)
-                t64_ids = jnp.asarray(np.asarray(t), jnp.int32)
+            # host arrays first (np.asarray pulls from the accelerator once),
+            # then everything — traces, jits, and the FD loop's ~2*samples
+            # sequential loss evals — stays on the CPU backend
+            host64 = lambda a: np.asarray(a, np.float64)
+            p_host = jax.tree_util.tree_map(host64, cparams)
+            h_host, c_host = host64(h), host64(c)
+            x_host = np.asarray(x, np.int32)
+            t_host = np.asarray(t, np.int32)
+            with jax.enable_x64(True), jax.default_device(
+                jax.local_devices(backend="cpu")[0]
+            ):
+                p64 = jax.tree_util.tree_map(jnp.asarray, p_host)
+                h64, c64 = jnp.asarray(h_host), jnp.asarray(c_host)
+                x_ids = jnp.asarray(x_host)
+                t_ids = jnp.asarray(t_host)
 
                 def scalar_loss(p):
                     return model.loss_fn(
-                        p, x64_ids, t64_ids, h64, c64, cfg64
+                        p, x_ids, t_ids, h64, c64, cfg64
                     )[0]
 
                 results = gc.check_gradients(
                     jax.jit(scalar_loss), p64,
                     jax.grad(scalar_loss)(p64),
-                    samples_per_tensor=samples_per_tensor, rel_floor=1e-4,
+                    samples_per_tensor=samples_per_tensor,
+                    rel_floor=rel_floor,
                 )
 
         ok = all(r.passed for r in results.values())
