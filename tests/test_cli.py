@@ -222,3 +222,25 @@ def test_cli_sp_builds_seq_mesh(tmp_path):
     assert trainer.mesh.axis_names == ("seq",)
     assert trainer.parallel == "sp"
     trainer.run(steps=2, quiet=True)
+
+
+def test_bench_probe_failure_emits_json_error():
+    """bench.py on a wedged tunnel (simulated: probe timeout ~0) must still
+    print ONE machine-readable JSON line with an error field and exit 1 —
+    never hang or traceback (the BENCH_r03 failure mode, VERDICT r3 #1)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["EIGEN_LSTM_BENCH_PROBE_TIMEOUT_S"] = "0.01"
+    env["EIGEN_LSTM_BENCH_PROBE_BACKOFFS_S"] = "0"
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "bench.py")],
+        cwd=root, capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert out.returncode == 1
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "error" in line and line["value"] == 0.0
+    assert line["unit"] == "chars/sec/chip"
