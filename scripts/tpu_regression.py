@@ -231,6 +231,37 @@ def main():
         lp = par.last_metrics["train_bpc"]
         ok &= check(f"{mode} D=1 training bpc lockstep", lp, lb, 2e-2)
 
+    # --- backward unroll-2 (attempt 4, round 4): Mosaic lowering of the
+    # two-timestep kernel + lockstep vs unroll-1 (same GEMMs, same
+    # accumulation order — gradients bitwise, so the tolerance is tight) ---
+    cfg = ModelConfig(hidden=256, num_layers=1, loss_mode="all",
+                      compute_dtype="bfloat16", seed=0)
+    s, b = 16, 32
+    ids, tg, h0, c0 = data_for(cfg, s, b)
+    try:
+        os.environ["EIGEN_LSTM_BWD_UNROLL"] = "2"
+        pc_mod._make_fused_embed_seq.cache_clear()
+        cell2 = select_cell_fn("pallas", cfg, b)
+        l2, g2 = loss_and_grads(cfg, cell2, ids, tg, h0, c0)
+    finally:
+        os.environ.pop("EIGEN_LSTM_BWD_UNROLL", None)
+        pc_mod._make_fused_embed_seq.cache_clear()
+    cell1 = select_cell_fn("pallas", cfg, b)
+    l1, g1 = loss_and_grads(cfg, cell1, ids, tg, h0, c0)
+    ok &= check("bwd unroll-2 loss lockstep", l2, l1, 1e-6)
+    ok &= check("bwd unroll-2 gnorm lockstep", g2, g1, 1e-6)
+
+    # --- tied embeddings (round 4): the substituted effective weight through
+    # the fused-embed kernel on the chip vs the tied XLA oracle ---
+    cfg_t = ModelConfig(hidden=256, num_layers=1, loss_mode="all",
+                        compute_dtype="bfloat16", seed=0, tie_embeddings=True)
+    ids, tg, h0, c0 = data_for(cfg_t, 16, 32)
+    cell_t = select_cell_fn("pallas", cfg_t, 32)
+    lt_p, gt_p = loss_and_grads(cfg_t, cell_t, ids, tg, h0, c0)
+    lt_x, gt_x = loss_and_grads(cfg_t, None, ids, tg, h0, c0)
+    ok &= check("tied-embed loss", lt_p, lt_x, 2e-2)
+    ok &= check("tied-embed gnorm", gt_p, gt_x, 2e-2)
+
     print("ALL PASS" if ok else "FAILURES", flush=True)
     return 0 if ok else 1
 
