@@ -135,8 +135,9 @@ def test_bench_bpc_band(tmp_path):
     spec.loader.exec_module(root_bench)
     lo, hi = root_bench.BPC_BAND
     assert hi - lo <= 0.3 + 1e-9, "band must catch sub-1-bpc regressions"
-    # brackets the last artifact-grade value (BENCH_r02 train_bpc 3.5006)
-    assert lo < 3.5006 < hi
+    # brackets the measured deterministic value of THIS bench config (the
+    # 3,300-step median-of-5 bench, round-3 TPU run: train_bpc 2.5572)
+    assert lo < 2.5572 < hi
 
     # enforcement: run the tiny CPU bench with a band that excludes any
     # plausible result and check the flag trips
