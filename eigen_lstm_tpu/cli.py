@@ -120,6 +120,9 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--results", type=str, default=None,
                    help="JSONL results-table path")
     p.add_argument("--resume", type=str, default=None, help="checkpoint to resume")
+    p.add_argument("--keep-snapshots", action="store_true",
+                   help="retain ckpt_step{N}.npz at every timed eval "
+                        "(material for tail weight averaging, scripts/swa.py)")
     p.add_argument("--gradcheck", action="store_true",
                    help="run a numerical gradient check before training "
                         "(reference runs one per epoch, class_batch/lstm.cc:323-337)")
@@ -214,6 +217,7 @@ def _configs(args):
         pp_chunks=getattr(args, "pp_chunks", 4),
         crosscheck_every=getattr(args, "crosscheck", None),
         gradcheck_every=getattr(args, "gradcheck_every", None),
+        keep_snapshots=getattr(args, "keep_snapshots", False),
         seed=args.seed + 1,
     )
     return mcfg, dcfg, tcfg

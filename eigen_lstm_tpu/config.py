@@ -167,6 +167,10 @@ class TrainConfig:
     # (lstm_eigen_class/lstm.cc:114-115,146; class_batch/lstm.cc:323-337)
     gradcheck_samples: int = 20   # FD samples per tensor on the cadence
     # (the startup --gradcheck uses more; class_batch/lstm.h:203-245 uses 100)
+    keep_snapshots: bool = False  # also retain ckpt_step{N}.npz at every
+    # timed eval (beyond the reference's rolling save,
+    # class_CUDA/lstm.cc:224-228) — material for tail weight averaging
+    # (scripts/swa.py)
     seed: int = 1234
 
 

@@ -723,6 +723,14 @@ class Trainer:
             )
         if self.tcfg.checkpoint_dir:
             self.save(f"{self.tcfg.checkpoint_dir}/ckpt.npz")
+            if self.tcfg.keep_snapshots:
+                # per-eval snapshot retention for tail weight averaging
+                # (scripts/swa.py); the rolling ckpt.npz above stays the
+                # resume point
+                self.save(
+                    f"{self.tcfg.checkpoint_dir}/ckpt_step{self.step}.npz",
+                    extra_meta={"test_bpc": float(test_bpc)},
+                )
             # retain the best-held-out snapshot separately: ckpt.npz is
             # overwritten every interval, so a late training spike would
             # otherwise destroy the scoreboard artifact (the reference
