@@ -54,19 +54,11 @@ def _score_streams(
     return total
 
 
-def evaluate_bpc(
-    params: model.LSTMParams,
-    test_data: np.ndarray,
-    cfg: ModelConfig,
-    eval_batch: int = 16,
-    chunk: int = 128,
-    max_chars: Optional[int] = None,
-    cell_fn=None,
-) -> float:
-    """bits/char on the held-out split (reference ``test()``, parity at
-    ``eval_batch=1``). ``max_chars`` caps scored bytes for timed evals.
-    ``cell_fn``: optional Pallas recurrence backend (the trainer passes its
-    own, so timed evals don't fall back to the slow-compiling XLA scan)."""
+def _build_streams(test_data, eval_batch: int, chunk: int, max_chars):
+    """Fold the held-out bytes into E contiguous streams of ceil-sized
+    spans with the padded tail masked out — every byte scored exactly once
+    (the reference's ``test()`` scores the full split,
+    ``class_CUDA/lstm.cc:661-720``)."""
     data = test_data
     if max_chars is not None and len(data) > max_chars + 1:
         data = data[: max_chars + 1]
@@ -75,14 +67,6 @@ def evaluate_bpc(
         raise ValueError("test split too small to evaluate")
     if usable < eval_batch * chunk:
         eval_batch = 1
-    if cell_fn is not None and (eval_batch % 8 != 0 or cfg.hidden % 128 != 0):
-        # the Pallas kernels were gated for the *training* batch; re-gate
-        # for the eval batch (tiny splits drop to a single stream, which
-        # violates the batch%8 sublane requirement) — fall back to XLA
-        cell_fn = None
-    # every byte is scored exactly once (the reference's test() scores the
-    # full split, class_CUDA/lstm.cc:661-720): streams cover ceil-sized
-    # contiguous spans, the padded tail masked out of the bit sum
     span = -(-usable // eval_batch)                # chars per stream (ceil)
     chunk = min(chunk, span)
     n_chunks = -(-span // chunk)
@@ -103,6 +87,34 @@ def evaluate_bpc(
     local = np.arange(span_pad)[:, None]
     idx = starts[None, :] + local
     mask = (idx < usable) & (local < span)
+    return x, t, mask, usable, eval_batch, chunk, n_chunks
+
+
+def _regate_cell_fn(cell_fn, cfg: ModelConfig, eval_batch: int):
+    """The Pallas kernels were gated for the *training* batch; re-gate for
+    the eval batch (tiny splits drop to a single stream, which violates the
+    batch%8 sublane requirement) — fall back to XLA."""
+    if cell_fn is not None and (eval_batch % 8 != 0 or cfg.hidden % 128 != 0):
+        return None
+    return cell_fn
+
+
+def evaluate_bpc(
+    params: model.LSTMParams,
+    test_data: np.ndarray,
+    cfg: ModelConfig,
+    eval_batch: int = 16,
+    chunk: int = 128,
+    max_chars: Optional[int] = None,
+    cell_fn=None,
+) -> float:
+    """bits/char on the held-out split (reference ``test()``, parity at
+    ``eval_batch=1``). ``max_chars`` caps scored bytes for timed evals.
+    ``cell_fn``: optional Pallas recurrence backend (the trainer passes its
+    own, so timed evals don't fall back to the slow-compiling XLA scan)."""
+    x, t, mask, usable, eval_batch, chunk, n_chunks = _build_streams(
+        test_data, eval_batch, chunk, max_chars
+    )
     total = _score_streams(
         params,
         jnp.asarray(x.astype(np.int32)),
@@ -111,6 +123,90 @@ def evaluate_bpc(
         cfg,
         chunk,
         n_chunks,
-        cell_fn,
+        _regate_cell_fn(cell_fn, cfg, eval_batch),
+    )
+    return float(total) / usable
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfgs", "chunk", "n_chunks", "cell_fns")
+)
+def _score_streams_ensemble(
+    params_tuple,
+    x: jax.Array,
+    t: jax.Array,
+    mask: jax.Array,
+    cfgs,
+    chunk: int,
+    n_chunks: int,
+    cell_fns,
+) -> jax.Array:
+    """Sum of -log2( mean_i p_i(target) ) over the masked positions — a
+    probability-space mixture of independently trained members, each
+    carrying its own recurrent state across chunks."""
+    e = x.shape[1]
+    states = tuple(model.init_state(cfg, e) for cfg in cfgs)
+    xc = x.reshape(n_chunks, chunk, e)
+    tc = t.reshape(n_chunks, chunk, e)
+    mc = mask.reshape(n_chunks, chunk, e)
+
+    def body(carry, xt):
+        states, acc = carry
+        xi, ti, mi = xt
+        new_states = []
+        logps = []
+        for p, cfg, cf, (h, c) in zip(params_tuple, cfgs, cell_fns, states):
+            h_seq, (h, c) = model.forward(p, xi, h, c, cfg, cell_fn=cf)
+            logits = model.logits_from_h(p, h_seq, cfg)
+            logps.append(
+                jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            )
+            new_states.append((h, c))
+        mix = jax.nn.logsumexp(jnp.stack(logps), axis=0) - jnp.log(
+            float(len(logps))
+        )
+        nll = -jnp.take_along_axis(mix, ti[..., None], axis=-1)[..., 0]
+        bits = nll / jnp.log(2.0)
+        return (tuple(new_states), acc + jnp.sum(bits * mi)), None
+
+    (_, total), _ = jax.lax.scan(
+        body, (states, jnp.float32(0.0)), (xc, tc, mc)
+    )
+    return total
+
+
+def evaluate_ensemble_bpc(
+    members,
+    test_data: np.ndarray,
+    eval_batch: int = 16,
+    chunk: int = 128,
+    max_chars: Optional[int] = None,
+) -> float:
+    """bits/char of a probability-space ensemble over the held-out split.
+
+    ``members``: sequence of ``(params, cfg, cell_fn)`` — architectures may
+    differ per member (hidden width, depth, tying). Degenerates exactly to
+    ``evaluate_bpc`` for a single member or identical members. The reference
+    has no ensemble evaluator; this is post-processing capability layered
+    over the same scoring semantics (``class_CUDA/lstm.cc:661-720``)."""
+    if not members:
+        raise ValueError("need at least one ensemble member")
+    x, t, mask, usable, eval_batch, chunk, n_chunks = _build_streams(
+        test_data, eval_batch, chunk, max_chars
+    )
+    params_tuple = tuple(m[0] for m in members)
+    cfgs = tuple(m[1] for m in members)
+    cell_fns = tuple(
+        _regate_cell_fn(m[2], m[1], eval_batch) for m in members
+    )
+    total = _score_streams_ensemble(
+        params_tuple,
+        jnp.asarray(x.astype(np.int32)),
+        jnp.asarray(t.astype(np.int32)),
+        jnp.asarray(mask, jnp.float32),
+        cfgs,
+        chunk,
+        n_chunks,
+        cell_fns,
     )
     return float(total) / usable
