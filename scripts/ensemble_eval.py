@@ -32,15 +32,19 @@ def load_member(spec: dict, dtype: str, backend: str, eval_batch: int):
     from eigen_lstm_tpu.train import checkpoint as ckpt_mod
 
     cfg = ModelConfig(
+        vocab=spec.get("vocab", 256),
         hidden=spec["hidden"],
         num_layers=spec.get("layers", 1),
+        cell_variant=spec.get("cell", "reference"),
         compute_dtype=spec.get("dtype", dtype),
         tie_embeddings=spec.get("tie_embeddings", False),
         seed=0,
     )
     like = model.init_params(cfg)
     with np.load(spec["ckpt"]) as z:
-        arrays = {k: z[k] for k in z.files}
+        # only the parameter tensors are scored; skip optimizer/stream state
+        # (roughly half of a full training checkpoint)
+        arrays = {k: z[k] for k in z.files if k.startswith("params")}
     params = ckpt_mod._unflatten_like(like, "params", arrays)
     cell_fn = select_cell_fn(
         spec.get("backend", backend), cfg, eval_batch

@@ -17,7 +17,13 @@ test -f /tmp/bigcorpus.bin || python scripts/build_bigcorpus.py
 mkdir -p artifacts/flagship_swa
 # resume from the best snapshot, but checkpoint into a fresh dir so the
 # scoreboard artifacts (ckpt_best.npz = 2.0514) are never racing this arm
-cp -n artifacts/flagship_drop/ckpt_best.npz artifacts/flagship_swa/ckpt_best.npz
+# (cp -n exits 1 on existing dst under coreutils >= 9.2, so guard instead)
+[ -f artifacts/flagship_swa/ckpt_best.npz ] || \
+  cp artifacts/flagship_drop/ckpt_best.npz artifacts/flagship_swa/ckpt_best.npz
+# a restart continues the arm's own trajectory rather than retracing from
+# the 785k seed and clobbering earlier snapshots
+RESUME=artifacts/flagship_drop/ckpt_best.npz
+[ -f artifacts/flagship_swa/ckpt.npz ] && RESUME=artifacts/flagship_swa/ckpt.npz
 exec timeout "$T" python -u -m eigen_lstm_tpu.cli train \
   --data /tmp/bigcorpus.bin --train-percent 0.992156 \
   --hidden 1024 --layers 3 --batch 128 --seq 256 \
@@ -28,4 +34,4 @@ exec timeout "$T" python -u -m eigen_lstm_tpu.cli train \
   --keep-snapshots \
   --ckpt-dir artifacts/flagship_swa \
   --results artifacts/flagship_swa_results.jsonl \
-  --resume artifacts/flagship_drop/ckpt_best.npz "$@"
+  --resume "$RESUME" "$@"

@@ -30,7 +30,12 @@ import numpy as np
 
 def step_of(path: str) -> int:
     m = re.search(r"step(\d+)", os.path.basename(path))
-    return int(m.group(1)) if m else -1
+    if m is None:
+        raise ValueError(
+            f"{path} is not a per-eval snapshot (expected 'step<N>' in the "
+            "name); pass ckpt_step*.npz files, not ckpt.npz/ckpt_best.npz"
+        )
+    return int(m.group(1))
 
 
 def average(paths, out_path: str) -> dict:
@@ -49,6 +54,10 @@ def average(paths, out_path: str) -> dict:
     for k in acc:
         base[k] = (acc[k] / len(paths)).astype(base[k].dtype)
     meta = json.loads(bytes(base["meta/json"]).decode())
+    # the carried test_bpc belongs to the newest *input*, not the average —
+    # it would poison trainer._best_test_bpc() seeding if promoted to
+    # ckpt_best.npz
+    meta.pop("test_bpc", None)
     meta["swa_steps"] = [step_of(p) for p in paths]
     base["meta/json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     tmp = out_path + ".tmp"
@@ -66,7 +75,9 @@ def main(argv=None):
                     help="only average the newest K snapshots")
     args = ap.parse_args(argv)
     paths = sorted(args.ckpts, key=step_of)
-    if args.last:
+    if args.last is not None:
+        if args.last < 2:
+            sys.exit("--last must be >= 2")
         paths = paths[-args.last:]
     if len(paths) < 2:
         sys.exit("need at least 2 snapshots to average")

@@ -55,10 +55,10 @@ def test_swa_average_is_param_mean_and_loadable(tmp_path):
     for p in snaps:
         with np.load(p) as z:
             stack.append(np.asarray(z[key], dtype=np.float64))
-    with np.load(out) as z:
+    with np.load(out) as z, np.load(snaps[-1]) as z_last:
         got = np.asarray(z[key], dtype=np.float64)
         # non-param state (optimizer, cursors, meta) carried from the newest
-        assert set(z.files) == set(np.load(snaps[-1]).files)
+        assert set(z.files) == set(z_last.files)
     np.testing.assert_allclose(got, np.mean(stack, axis=0), rtol=1e-6)
 
     # the output restores cleanly and evaluates finite
