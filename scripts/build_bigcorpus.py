@@ -30,8 +30,22 @@ index can only land before the U/T boundary — a few bytes of U lost to test
 is harmless; T bytes leaking into train would not be) and writes a JSON
 sidecar with the manifest.
 
+Round-5 extension (``--ref-data``): the reference ALSO ships two large text
+corpora the earlier inventory missed — ``20_newsgroups/`` (19,998 Usenet
+posts, 48.5 MB) and ``reuters21578/`` (22 SGML files + aux text, 28.0 MB)
+under ``optimized-obsfuscated_versions/lstm_eigen_BLAS/``. With them the
+unique text block grows ~8x to ~86 MB (enwik8-scale), dissolving the
+memorization regime the round-3/4 flagship plateaued in. They are read from
+the reference tree at build time (data files are fair to use; they are not
+mirrored into git). Construction invariants are unchanged: per-document
+dedup, leak-free head/tail split, and — new — the held-out tail pool is
+document-shuffled (seeded) so a 250k-char eval prefix is representative of
+the train mixture rather than of whichever source happens to come first.
+
 Usage:
   python scripts/build_bigcorpus.py --out /tmp/bigcorpus.bin [--target-mb 105]
+  python scripts/build_bigcorpus.py --ref-data --out /tmp/bigcorpus_full.bin \
+      --holdout-frac 0.05          # round-5 flagship corpus (k=1, ~86 MB)
 """
 
 from __future__ import annotations
@@ -42,7 +56,10 @@ import json
 import math
 import os
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_BLAS = "/root/reference/optimized-obsfuscated_versions/lstm_eigen_BLAS"
 
 # text-only members (binary payloads excluded), relative to data/
 CANDIDATES = [
@@ -58,8 +75,36 @@ CANDIDATES = [
 ]
 
 
+def _iter_ref_documents():
+    """Yield ``(relpath, blob)`` for every reference-shipped text document
+    outside the mirrored set: 20_newsgroups posts (one document per post)
+    and reuters21578 files. Read-only access to /root/reference."""
+    ng = os.path.join(REF_BLAS, "20_newsgroups")
+    for group in sorted(os.listdir(ng)):
+        gdir = os.path.join(ng, group)
+        if not os.path.isdir(gdir):
+            continue
+        for fname in sorted(os.listdir(gdir)):
+            path = os.path.join(gdir, fname)
+            with open(path, "rb") as f:
+                yield f"20_newsgroups/{group}/{fname}", f.read()
+    rt = os.path.join(REF_BLAS, "reuters21578")
+    for fname in sorted(os.listdir(rt)):
+        path = os.path.join(rt, fname)
+        if os.path.isdir(path):
+            continue
+        with open(path, "rb") as f:
+            yield f"reuters21578/{fname}", f.read()
+
+
+def _chunk(blob: bytes, max_bytes: int = 65536):
+    """Split a tail piece into <=max_bytes chunks so the shuffled held-out
+    pool mixes sources within any eval prefix."""
+    return [blob[i : i + max_bytes] for i in range(0, len(blob), max_bytes)]
+
+
 def build(out: str, target_mb: float = 105.0, holdout_frac: float = 0.08,
-          data_dir: str | None = None) -> dict:
+          data_dir: str | None = None, ref_data: bool = False) -> dict:
     data_dir = data_dir or os.path.join(REPO, "data")
     seen: set[str] = set()
     files = []
@@ -73,13 +118,53 @@ def build(out: str, target_mb: float = 105.0, holdout_frac: float = 0.08,
         seen.add(h)
         files.append((rel, blob))
 
-    heads, tails = [], []
+    heads, tail_pieces = [], []
     for rel, blob in files:
         cut = len(blob) - int(len(blob) * holdout_frac)
         heads.append(blob[:cut])
-        tails.append(blob[cut:])
+        tail_pieces.append(blob[cut:])
+
+    ref_stats = None
+    if ref_data:
+        # Small documents (newsgroup posts, reuters aux files) go WHOLE to
+        # train or tail — every stride-th doc per bucket is held out, a
+        # deterministic mixture-matched sample across each group's full
+        # span. Large files (the .sgm collections) keep the per-file
+        # head/tail byte split of the mirrored corpora.
+        stride = max(2, round(1.0 / holdout_frac))
+        bucket_counts: dict[str, int] = {}
+        ref_stats = {"docs": 0, "dups": 0, "train_bytes": 0, "tail_bytes": 0}
+        for rel, blob in _iter_ref_documents():
+            h = hashlib.sha256(blob).hexdigest()
+            if h in seen:          # cross-posted Usenet messages
+                ref_stats["dups"] += 1
+                continue
+            seen.add(h)
+            ref_stats["docs"] += 1
+            if len(blob) >= 262144:
+                cut = len(blob) - int(len(blob) * holdout_frac)
+                heads.append(blob[:cut])
+                tail_pieces.extend(_chunk(blob[cut:]))
+                ref_stats["train_bytes"] += cut
+                ref_stats["tail_bytes"] += len(blob) - cut
+            else:
+                bucket = rel.rsplit("/", 1)[0]
+                i = bucket_counts.get(bucket, 0)
+                bucket_counts[bucket] = i + 1
+                if i % stride == stride - 1:
+                    tail_pieces.append(blob)
+                    ref_stats["tail_bytes"] += len(blob)
+                else:
+                    heads.append(blob)
+                    ref_stats["train_bytes"] += len(blob)
+        # Shuffle the held-out pool at document granularity (fixed seed) so
+        # evaluate_bpc's max_chars PREFIX (evaluator.py:63) samples the full
+        # source mixture, not whichever corpus is emitted first.
+        order = np.random.RandomState(0).permutation(len(tail_pieces))
+        tail_pieces = [tail_pieces[i] for i in order]
+
     unique = b"".join(heads)
-    tail = b"".join(tails)
+    tail = b"".join(tail_pieces)
 
     k = max(1, math.ceil(target_mb * 1e6 / len(unique)))
     total = k * len(unique) + len(tail)
@@ -100,6 +185,8 @@ def build(out: str, target_mb: float = 105.0, holdout_frac: float = 0.08,
         "repeats": k,
         "holdout_frac": holdout_frac,
         "train_percent": train_percent,
+        "ref_data": ref_stats,
+        "tail_pieces": len(tail_pieces),
         "files": [
             {"path": rel, "bytes": len(blob)} for rel, blob in files
         ],
@@ -114,8 +201,12 @@ def main():
     ap.add_argument("--out", default="/tmp/bigcorpus.bin")
     ap.add_argument("--target-mb", type=float, default=105.0)
     ap.add_argument("--holdout-frac", type=float, default=0.08)
+    ap.add_argument("--ref-data", action="store_true",
+                    help="also ingest the reference tree's 20_newsgroups + "
+                         "reuters21578 (round-5 flagship corpus)")
     args = ap.parse_args()
-    m = build(args.out, args.target_mb, args.holdout_frac)
+    m = build(args.out, args.target_mb, args.holdout_frac,
+              ref_data=args.ref_data)
     print(json.dumps({k: v for k, v in m.items() if k != "files"}, indent=1))
     print(f"--data {m['out']} --train-percent {m['train_percent']}")
 
