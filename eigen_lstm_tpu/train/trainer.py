@@ -254,20 +254,6 @@ class Trainer:
         ``streaming.load_corpus_mmap`` for corpora that rival HBM) and feeds
         windows per superstep, double-buffered (data/streaming.py)."""
         self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
-        if (
-            tcfg.gradcheck_every
-            and mesh is not None
-            and parallel not in (None, "dp")
-        ):
-            # don't let the advertised FD safety net silently not run
-            print(
-                f"[gradcheck] WARNING: --gradcheck-every is ignored under "
-                f"parallel={parallel!r} (the oracle checks the canonical "
-                f"params through models.lstm.loss_fn, which only matches "
-                f"the single-device/DP training function); use --crosscheck "
-                f"for backend policing in this mode",
-                flush=True,
-            )
         if mcfg.tie_embeddings and mesh is not None and parallel in ("pp", "dp_pp"):
             # PP stages layer 0 and the head onto different devices — the
             # tied weight cannot be shared across stages without replicating
@@ -591,10 +577,10 @@ class Trainer:
                 self.crosscheck(quiet=quiet)
             if (
                 self.tcfg.gradcheck_every
-                # gradcheck runs on the canonical (gathered) params through
-                # the oracle loss, so DP composes; other modes would check a
-                # different function than they train
-                and (self.parallel is None or self.parallel == "dp")
+                # runs in EVERY parallel mode: the fp64 shadow checks the
+                # canonical (gathered) params through the oracle loss on the
+                # host CPU, which is mode-independent; only the fp64
+                # live-backend variant is DP-gated (see gradcheck())
                 and (k + 1) % self.tcfg.gradcheck_every == 0
             ):
                 # the reference's per-epoch mid-training FD oracle
@@ -790,10 +776,13 @@ class Trainer:
         because central differences at ±1e-5 are pure roundoff below fp64.
         Accordingly:
 
-        * **float64 config** (the class-variant parity mode): the analytic
-          side is the live training backward (``self.cell_fn`` — a custom
-          VJP when a kernel backend is active), so a planted bug in a
-          hand-written backward is caught directly.
+        * **float64 config** (the class-variant parity mode), single-device
+          or DP only: the analytic side is the live training backward
+          (``self.cell_fn`` — a custom VJP when a kernel backend is active),
+          so a planted bug in a hand-written backward is caught directly.
+          Other parallel modes train through a different function (TP's
+          permuted kernels, PP's staged ring), so they fall through to the
+          shadow branch below — which runs in EVERY mode.
         * **fp32/bf16 config** (production): the check runs on an fp64
           *shadow* — params upcast under scoped x64 and differentiated
           through the XLA oracle path (which includes the hand-written
@@ -819,7 +808,7 @@ class Trainer:
         c = self.state.c[..., :b, :]
         cparams = self.canonical_params()
 
-        if self.mcfg.param_dtype == "float64":
+        if self.mcfg.param_dtype == "float64" and self.parallel in (None, "dp"):
             def scalar_loss(p):
                 return model.loss_fn(p, x, t, h, c, self.mcfg, self.cell_fn)[0]
 

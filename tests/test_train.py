@@ -490,6 +490,56 @@ def test_gradcheck_every_catches_planted_vjp_bug(x64):
             assert tr.gradcheck_failures == 0
 
 
+def test_gradcheck_every_runs_under_tp(monkeypatch):
+    """VERDICT r4 #4: --gradcheck-every's fp64-shadow FD oracle runs in
+    EVERY parallel mode (it checks canonical_params() through the oracle
+    loss on the host CPU — mode-independent; the reference's per-epoch
+    oracle, lstm_eigen_class/lstm.cc:114-146). A healthy TP run passes the
+    cadence; a planted 3x bug in the oracle's hand-written embedding VJP
+    (ops/cell.py) is caught mid-run under TP."""
+    from eigen_lstm_tpu.ops import cell as cell_ops
+    from eigen_lstm_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh(8, axis="model")
+    mcfg = ModelConfig(hidden=16, num_layers=1, loss_mode="all", seed=0)
+    dcfg = DataConfig(batch=8, seq=8, train_percent=0.9)
+    tcfg = TrainConfig(
+        lr=0.1, superstep=2, steps=4, eval_every_s=1e9,
+        gradcheck_every=1, gradcheck_samples=8,
+    )
+    train, test = corpus_mod.split(synthetic_corpus(), dcfg.train_percent)
+
+    tr = Trainer(mcfg, dcfg, tcfg, train, test, mesh=mesh, parallel="tp")
+    tr.run(quiet=True)
+    assert tr.gradcheck_failures == 0
+
+    real_embed = cell_ops.embed
+
+    def corrupt_embed(W, ids, compute_dtype=jnp.float32,
+                      accum_dtype=jnp.float32):
+        @jax.custom_vjp
+        def f(w):
+            return real_embed(w, ids, compute_dtype, accum_dtype)
+
+        def fwd(w):
+            out, vjp = jax.vjp(
+                lambda wv: real_embed(wv, ids, compute_dtype, accum_dtype), w
+            )
+            return out, vjp
+
+        def bwd(vjp, g):
+            (dW,) = vjp(g)
+            return (3.0 * dW,)
+
+        f.defvjp(fwd, bwd)
+        return f(W)
+
+    monkeypatch.setattr(cell_ops, "embed", corrupt_embed)
+    tr2 = Trainer(mcfg, dcfg, tcfg, train, test, mesh=mesh, parallel="tp")
+    tr2.run(quiet=True)
+    assert tr2.gradcheck_failures > 0, "planted oracle VJP bug not caught"
+
+
 def test_eval_tiny_test_split():
     """Evaluator handles a test split smaller than eval_batch*chunk."""
     tr = make_trainer()
