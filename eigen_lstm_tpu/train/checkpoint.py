@@ -88,6 +88,16 @@ def save_checkpoint(
     os.replace(tmp, path)
 
 
+def load_params(path: str, params_like: PyTree) -> PyTree:
+    """Restore only the parameter tensors from a checkpoint (roughly half
+    of a full training state — optimizer/stream state is skipped). The
+    public loading path for post-processing tools (scripts/ensemble_eval.py,
+    scripts/swa.py) that score or average snapshots."""
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files if k.startswith("params")}
+    return _unflatten_like(params_like, "params", arrays)
+
+
 def load_checkpoint(
     path: str, params_like: PyTree, opt_like: PyTree
 ) -> Tuple[PyTree, PyTree, int, Dict[str, Any]]:

@@ -191,6 +191,13 @@ def evaluate_ensemble_bpc(
     over the same scoring semantics (``class_CUDA/lstm.cc:661-720``)."""
     if not members:
         raise ValueError("need at least one ensemble member")
+    vocabs = {m[1].vocab for m in members}
+    if len(vocabs) > 1:
+        # jnp.stack over per-member log-probs requires one shared vocab;
+        # fail with the actual mismatch instead of an opaque stack error
+        raise ValueError(
+            f"ensemble members must share one vocab, got {sorted(vocabs)}"
+        )
     x, t, mask, usable, eval_batch, chunk, n_chunks = _build_streams(
         test_data, eval_batch, chunk, max_chars
     )

@@ -20,7 +20,6 @@ import json
 import os
 import sys
 
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -41,11 +40,7 @@ def load_member(spec: dict, dtype: str, backend: str, eval_batch: int):
         seed=0,
     )
     like = model.init_params(cfg)
-    with np.load(spec["ckpt"]) as z:
-        # only the parameter tensors are scored; skip optimizer/stream state
-        # (roughly half of a full training checkpoint)
-        arrays = {k: z[k] for k in z.files if k.startswith("params")}
-    params = ckpt_mod._unflatten_like(like, "params", arrays)
+    params = ckpt_mod.load_params(spec["ckpt"], like)
     cell_fn = select_cell_fn(
         spec.get("backend", backend), cfg, eval_batch
     )

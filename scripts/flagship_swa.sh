@@ -4,7 +4,7 @@
 # 2.0514 at step 785k) at the ORIGINAL lr 0.005 — the 4x boost is measured
 # divergent (NORTHSTAR.md lever a) — retaining a snapshot at every eval.
 # Afterwards, average the plateau tail:
-#   python scripts/swa.py --out artifacts/flagship_drop/ckpt_swa.npz \
+#   python scripts/swa.py --out artifacts/flagship_swa/ckpt_swa.npz \
 #       artifacts/flagship_swa/ckpt_step*.npz --last K
 # and score it with `cli.py eval`.
 #

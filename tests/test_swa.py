@@ -4,13 +4,16 @@ rolling save (``class_CUDA/lstm.cc:224-228``), which keeps one snapshot and
 so cannot average."""
 
 import json
+import os
 import sys
 
 import numpy as np
 
 from eigen_lstm_tpu import TrainConfig
 
-sys.path.insert(0, "scripts")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir, "scripts")
+)
 import swa  # noqa: E402
 
 from test_train import make_trainer  # noqa: E402
