@@ -19,6 +19,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache for the suite: the box has ONE CPU core
+# (pytest-xdist measured useless here) and much of the 20-min wall is XLA
+# re-compiling the same parity graphs run after run. A warm cache cuts
+# repeat gate runs; a cold run pays a few % to populate it. Opt out with
+# EIGEN_LSTM_TEST_NO_CACHE=1.
+if not os.environ.get("EIGEN_LSTM_TEST_NO_CACHE"):
+    _cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_tests")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

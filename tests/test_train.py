@@ -478,7 +478,7 @@ def test_gradcheck_every_catches_planted_vjp_bug(x64):
             mcfg=mcfg,
             dcfg=DataConfig(batch=4, seq=8, train_percent=0.9),
             tcfg=TrainConfig(
-                lr=0.1, superstep=2, steps=4, eval_every_s=1e9,
+                lr=0.1, superstep=2, steps=2, eval_every_s=1e9,
                 gradcheck_every=1, gradcheck_samples=10,
             ),
             cell_fn=make_cell(corrupt),
@@ -504,7 +504,7 @@ def test_gradcheck_every_runs_under_tp(monkeypatch):
     mcfg = ModelConfig(hidden=16, num_layers=1, loss_mode="all", seed=0)
     dcfg = DataConfig(batch=8, seq=8, train_percent=0.9)
     tcfg = TrainConfig(
-        lr=0.1, superstep=2, steps=4, eval_every_s=1e9,
+        lr=0.1, superstep=2, steps=2, eval_every_s=1e9,
         gradcheck_every=1, gradcheck_samples=8,
     )
     train, test = corpus_mod.split(synthetic_corpus(), dcfg.train_percent)
