@@ -107,6 +107,12 @@ def _add_train_args(p: argparse.ArgumentParser):
                         "default min(50*seq, steps//10) — the reference's "
                         "50*seq recipe (class_CUDA/lstm.cc:364-367) capped "
                         "so short runs still train")
+    p.add_argument("--lr-cycle-steps", type=int, default=0,
+                   help="post-warmup cyclical lr: within each cycle of this "
+                        "many steps, lr decays linearly to "
+                        "lr*--lr-cycle-min-frac then resets (SWA's cyclic "
+                        "schedule; 0 disables)")
+    p.add_argument("--lr-cycle-min-frac", type=float, default=0.1)
     p.add_argument("--steps", type=int, default=10000)
     p.add_argument("--epochs", type=float, default=None,
                    help="train this many passes over the corpus instead of "
@@ -207,6 +213,8 @@ def _configs(args):
         adagrad_eps=args.adagrad_eps,
         clip_norm=args.clip_norm,
         warmup_steps=warmup,
+        lr_cycle_steps=getattr(args, "lr_cycle_steps", 0),
+        lr_cycle_min_frac=getattr(args, "lr_cycle_min_frac", 0.1),
         steps=args.steps,
         superstep=args.superstep,
         log_every=args.log_every,

@@ -147,6 +147,12 @@ class TrainConfig:
     adagrad_eps: float = 1e-10    # root lstm.cc:25
     clip_norm: Optional[float] = None  # global-norm clip; reference has none
     warmup_steps: int = 0         # lr=0 for this many steps (class_CUDA lstm.cc:364-367)
+    lr_cycle_steps: int = 0       # >0: post-warmup cyclical lr — within each
+    # cycle lr decays linearly from lr to lr*lr_cycle_min_frac, then resets
+    # (SWA's prescription, Izmailov et al. 2018; the reference has no
+    # schedule beyond warmup). Pair with keep_snapshots + an eval cadence
+    # near the cycle length so scripts/swa.py averages near-minima iterates.
+    lr_cycle_min_frac: float = 0.1
     skip_nonfinite: bool = True   # skip the update on a non-finite loss —
     # the reference silently skips NaN losses (cu_lstm.h:210-211); here the
     # *update* is skipped (grads zeroed) so training state stays clean

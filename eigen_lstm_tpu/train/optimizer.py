@@ -73,6 +73,26 @@ def warmup_lr(lr: float, step: jax.Array, warmup_steps: int) -> jax.Array:
     return jnp.where(step < warmup_steps, 0.0, lr).astype(jnp.float32)
 
 
+def schedule_lr(cfg: TrainConfig, step: jax.Array) -> jax.Array:
+    """The full lr schedule: warm-up, then (optionally) a cyclical decay.
+
+    The reference's only schedule is the lr=0 warm-up
+    (``class_CUDA/lstm.cc:364-367``). ``lr_cycle_steps > 0`` adds SWA's
+    prescribed cyclical schedule (Izmailov et al. 2018): within each cycle of
+    that many post-warmup steps, lr decays linearly from ``cfg.lr`` down to
+    ``cfg.lr * lr_cycle_min_frac``, then jumps back — snapshots taken at the
+    cycle minima explore the loss basin and average into a flatter point.
+    """
+    lr = warmup_lr(cfg.lr, step, cfg.warmup_steps)
+    if cfg.lr_cycle_steps > 0:
+        t = jnp.mod(
+            jnp.maximum(step - cfg.warmup_steps, 0), cfg.lr_cycle_steps
+        ).astype(jnp.float32) / float(cfg.lr_cycle_steps)
+        frac = 1.0 - (1.0 - cfg.lr_cycle_min_frac) * t
+        lr = lr * frac
+    return lr
+
+
 def adagrad_update(
     params: PyTree,
     grads: PyTree,
@@ -115,6 +135,6 @@ def apply_updates(
         grads, gnorm = clip_by_global_norm(grads, cfg.clip_norm, psum_axis, replicated)
     else:
         gnorm = global_norm(grads, psum_axis, replicated)
-    lr = warmup_lr(cfg.lr, step, cfg.warmup_steps)
+    lr = schedule_lr(cfg, step)
     params, m = adagrad_update(params, grads, m, lr, cfg.adagrad_eps)
     return params, m, gnorm

@@ -628,3 +628,32 @@ def test_dropout_dp_runs():
     tr = Trainer(mcfg, dcfg, tcfg, data, None, mesh=make_mesh(8), parallel="dp")
     m = tr.run(steps=20, quiet=True)
     assert np.isfinite(m["train_bpc"])
+
+
+def test_cyclic_lr_schedule_values():
+    """schedule_lr: warmup holds 0; within a cycle lr decays linearly from lr
+    to lr*min_frac then resets (SWA's cyclic schedule, Izmailov et al. 2018)."""
+    cfg = TrainConfig(lr=0.1, warmup_steps=10, lr_cycle_steps=100,
+                      lr_cycle_min_frac=0.1)
+    lr = lambda s: float(opt_mod.schedule_lr(cfg, jnp.asarray(s)))
+    assert lr(5) == 0.0                                  # warmup
+    assert lr(10) == pytest.approx(0.1)                  # cycle start
+    assert lr(60) == pytest.approx(0.1 * (1 - 0.9 * 0.5))  # mid-cycle
+    assert lr(109) == pytest.approx(0.1 * (1 - 0.9 * 0.99))  # near minimum
+    assert lr(110) == pytest.approx(0.1)                 # reset
+    # disabled cycle == plain warmup schedule
+    flat = TrainConfig(lr=0.1, warmup_steps=10)
+    assert float(opt_mod.schedule_lr(flat, jnp.asarray(60))) == pytest.approx(0.1)
+
+
+def test_cyclic_lr_trains():
+    """A run with the cyclic schedule enabled still learns the periodic
+    pattern (end-to-end through the jitted superstep)."""
+    tcfg = TrainConfig(lr=0.1, superstep=10, steps=200, warmup_steps=10,
+                       lr_cycle_steps=50, lr_cycle_min_frac=0.2,
+                       eval_every_s=1e9)
+    tr = make_trainer(tcfg=tcfg)
+    tr.state, m0 = tr.superstep(tr.state)
+    first = float(m0["bits_mean"])
+    tr.run(steps=200, quiet=True)
+    assert tr.last_metrics["train_bpc"] < first - 1.5
