@@ -657,3 +657,23 @@ def test_cyclic_lr_trains():
     first = float(m0["bits_mean"])
     tr.run(steps=200, quiet=True)
     assert tr.last_metrics["train_bpc"] < first - 1.5
+
+
+def test_load_params_public_api(tmp_path):
+    """checkpoint.load_params: the public params-only loading path used by
+    scripts/ensemble_eval.py and scripts/swa.py — restores exactly the
+    parameter tensors (not optimizer/stream state) from a full checkpoint."""
+    tr = make_trainer()
+    tr.run(steps=20, quiet=True)
+    path = str(tmp_path / "ck.npz")
+    tr.save(path)
+    tr2 = make_trainer()
+    loaded = ckpt_mod.load_params(path, tr2.state.params)
+    np.testing.assert_array_equal(np.asarray(loaded.Why), np.asarray(tr.state.params.Why))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.layers[0].W), np.asarray(tr.state.params.layers[0].W)
+    )
+    # same treedef as the template, so it drops into eval/ensemble tooling
+    assert jax.tree_util.tree_structure(loaded) == jax.tree_util.tree_structure(
+        tr2.state.params
+    )
