@@ -110,6 +110,7 @@ def _make_dp_superstep_impl(
             "bits_mean": jnp.mean(bits),
             "bits_last": bits[-1],
             "gnorm_mean": jnp.mean(gnorms),
+            "gnorm_max": jnp.max(gnorms),
         }
 
     stream_spec = P(None, axis, None)   # (L, B, N) sharded over B
@@ -122,7 +123,7 @@ def _make_dp_superstep_impl(
         step=P(),
         key=P(),
     )
-    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P(), "gnorm_max": P()}
     in_specs = (state_specs,)
     if streamed:
         in_specs = (state_specs, P(None, None, axis))   # (K, S+1, B) over B

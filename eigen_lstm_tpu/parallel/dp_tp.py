@@ -144,6 +144,7 @@ def make_dp_tp_superstep(
             "bits_mean": jnp.mean(bits),
             "bits_last": bits[-1],
             "gnorm_mean": jnp.mean(gnorms),
+            "gnorm_max": jnp.max(gnorms),
         }
 
     pspecs = tp_mod.tp_specs(mcfg, "model")
@@ -156,7 +157,7 @@ def make_dp_tp_superstep(
         step=P(),
         key=P(),
     )
-    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P(), "gnorm_max": P()}
     in_specs = (
         (state_specs, P(None, None, "data")) if streamed else (state_specs,)
     )

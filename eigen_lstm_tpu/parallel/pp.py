@@ -397,6 +397,7 @@ def make_pp_superstep(
             "bits_mean": jnp.mean(bits),
             "bits_last": bits[-1],
             "gnorm_mean": jnp.mean(gnorms),
+            "gnorm_max": jnp.max(gnorms),
         }
 
     pspecs = pp_specs(axis)
@@ -409,7 +410,7 @@ def make_pp_superstep(
         step=P(),
         key=P(),
     )
-    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P(), "gnorm_max": P()}
     in_specs = (state_specs, P()) if streamed else (state_specs,)
     mapped = jax.shard_map(
         local_superstep,
@@ -530,6 +531,7 @@ def make_dp_pp_superstep(
             "bits_mean": jnp.mean(bits),
             "bits_last": bits[-1],
             "gnorm_mean": jnp.mean(gnorms),
+            "gnorm_max": jnp.max(gnorms),
         }
 
     pspecs = pp_specs(stage_axis)
@@ -542,7 +544,7 @@ def make_dp_pp_superstep(
         step=P(),
         key=P(),
     )
-    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P(), "gnorm_max": P()}
     in_specs = (
         (state_specs, P(None, None, data_axis)) if streamed else (state_specs,)
     )

@@ -330,7 +330,7 @@ def make_sp_superstep(
     state_specs = TrainState(
         params=repl, m=repl, h=P(), c=P(), positions=P(), step=P(), key=P()
     )
-    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P(), "gnorm_max": P()}
     in_specs = (state_specs, P()) if streamed else (state_specs,)
     mapped = jax.shard_map(
         local_superstep,
@@ -452,7 +452,7 @@ def make_dp_sp_superstep(
         h=P(None, data_axis, None), c=P(None, data_axis, None),
         positions=P(data_axis), step=P(), key=P(),
     )
-    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P(), "gnorm_max": P()}
     in_specs = (
         (state_specs, P(None, None, data_axis)) if streamed else (state_specs,)
     )
@@ -565,7 +565,7 @@ def make_tp_sp_superstep(
         h=P(None, None, model_axis), c=P(None, None, model_axis),
         positions=P(), step=P(), key=P(),
     )
-    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P(), "gnorm_max": P()}
     in_specs = (state_specs, P()) if streamed else (state_specs,)
     mapped = jax.shard_map(
         local_superstep,

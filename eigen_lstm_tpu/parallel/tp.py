@@ -404,6 +404,7 @@ def make_tp_superstep(
             "bits_mean": jnp.mean(bits),
             "bits_last": bits[-1],
             "gnorm_mean": jnp.mean(gnorms),
+            "gnorm_max": jnp.max(gnorms),
         }
 
     pspecs = tp_specs(mcfg, axis)
@@ -416,7 +417,7 @@ def make_tp_superstep(
         step=P(),
         key=P(),
     )
-    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P()}
+    metrics_specs = {"bits_mean": P(), "bits_last": P(), "gnorm_mean": P(), "gnorm_max": P()}
     in_specs = (state_specs, P()) if streamed else (state_specs,)
     mapped = jax.shard_map(
         local_superstep,

@@ -146,6 +146,12 @@ def _scan_metrics(bits, gnorms):
         "bits_mean": jnp.mean(bits),
         "bits_last": bits[-1],
         "gnorm_mean": jnp.mean(gnorms),
+        # spike detector: one pathological batch inside a superstep is
+        # invisible in the means but (with clipping off, the reference's
+        # default) permanently poisons Adagrad's accumulator — this is what
+        # cost the round-5 flagship +0.16 held-out bpc between its 162.5k
+        # and 195k evals (NORTHSTAR.md round-5 incident note)
+        "gnorm_max": jnp.max(gnorms),
     }
 
 
@@ -544,15 +550,27 @@ class Trainer:
         timer = metrics_mod.Timer()
         eval_timer = metrics_mod.Timer()
         chars_done = 0
+        gmax_window = None
         for k in range(n_super):
             self.state, metrics = self.dispatch_superstep()
             chars_done += self.chars_per_superstep()
+            if "gnorm_max" in metrics:
+                # running max across the supersteps since the last progress
+                # line, so a single-batch spike can't hide between prints.
+                # Accumulated on-device (async dispatch): float()ing here
+                # every superstep would sync the host loop with the device
+                # and drain the streaming prefetch pipeline.
+                g = metrics["gnorm_max"]
+                gmax_window = g if gmax_window is None else jnp.maximum(gmax_window, g)
             if (k + 1) % max(1, self.tcfg.log_every // self.tcfg.superstep) == 0 or k == n_super - 1:
                 bits = float(metrics["bits_mean"])
+                gmax = float("nan") if gmax_window is None else float(gmax_window)
+                gmax_window = None
                 cps, gflops, mfu = self.meter.rates(chars_done, timer.elapsed())
                 self.last_metrics = {
                     "step": float(self.step),
                     "train_bpc": bits,
+                    "gnorm_max": gmax,
                     "chars_per_sec": cps,
                     "gflops": gflops,
                     "mfu": mfu,
@@ -562,6 +580,7 @@ class Trainer:
                     eta = timer.elapsed() / (k + 1) * (n_super - k - 1)
                     print(
                         f"step {self.step:>8d}  bpc {bits:6.3f}  "
+                        f"gmax {gmax:7.2f}  "
                         f"{cps:,.0f} chars/s  {gflops:,.0f} GF/s  mfu {mfu:5.1%}"
                         f"  eta {eta:,.0f}s",
                         flush=True,

@@ -12,6 +12,14 @@
 # with 8x data); lr 0.005 as measured stable for this depth. Per-eval
 # snapshots retained for the ensemble/SWA levers.
 #
+# --clip-norm 2.0 (added mid-round-5): between the 162.5k eval (1.450)
+# and 195k (1.614) a single gradient spike — unclipped, the reference
+# has no clipping — permanently poisoned the Adagrad accumulators of
+# layers 0-1 (||m|| grew ~100x the normal interval rate) and cost
+# +0.16 held-out. Normal gnorm at this depth is ~0.22 mean, so 2.0
+# only engages on pathological batches (forensics: scripts/
+# diag_resume.py, NORTHSTAR.md round-5 incident note).
+#
 # Usage: scripts/flagship_full.sh [TIMEOUT_S] [EXTRA_ARGS...]
 set -e
 cd "$(dirname "$0")/.."
@@ -30,7 +38,7 @@ exec timeout "$T" python -u -m eigen_lstm_tpu.cli train \
   --hidden 1024 --layers 3 --batch 128 --seq 256 \
   --dtype bfloat16 --backend pallas --stream-data --dropout 0.2 \
   --steps 2000000 --superstep 50 --log-every 2500 \
-  --lr 0.005 --warmup 1000 \
+  --lr 0.005 --warmup 1000 --clip-norm 2.0 \
   --eval-every-s 900 --eval-chars 250000 --sample-chars 2000 \
   --keep-snapshots \
   --ckpt-dir artifacts/flagship_full \
