@@ -183,6 +183,23 @@ def test_grad_clipping_bounds_norm():
     assert float(gnorm) > 1.0
 
 
+def test_superstep_metrics_report_gnorm_spike_detector():
+    """Every superstep reports ``gnorm_max`` >= ``gnorm_mean``: the
+    single-batch spike detector added after an unclipped gradient spike
+    poisoned the round-5 flagship's Adagrad state between two evals
+    (NORTHSTAR.md round-5 incident note). The reference logs only loss, so
+    the event class is invisible there; here it is a first-class metric in
+    every parallel mode (the shard_map out_specs carry it too)."""
+    tr = make_trainer()
+    tr.state, metrics = tr.superstep(tr.state)
+    assert "gnorm_max" in metrics and "gnorm_mean" in metrics
+    gmax, gmean = float(metrics["gnorm_max"]), float(metrics["gnorm_mean"])
+    assert np.isfinite(gmax) and gmax >= gmean > 0.0
+    # the run loop surfaces the window max in last_metrics
+    tr.run(steps=10, quiet=True)
+    assert np.isfinite(tr.last_metrics["gnorm_max"])
+
+
 def test_adagrad_matches_manual():
     """Elementwise check of the update rule m += g^2; p -= lr*g/sqrt(m+eps)
     (root lstm.cc:261-272)."""
