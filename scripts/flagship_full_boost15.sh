@@ -5,6 +5,8 @@
 # flagship_full best checkpoint at lr 0.0075 (1.5 x 0.005), no warmup, with
 # per-eval snapshots retained so the tail stays ensemble/SWA-averageable.
 #
+# --clip-norm 2.0 matches the parent arm (gradient-spike incident,
+# NORTHSTAR.md round 5); without it one bad batch poisons Adagrad.
 # Launch ONLY once flagship_full has plateaued (NORTHSTAR.md round-5 table).
 # Usage: scripts/flagship_full_boost15.sh [TIMEOUT_S] [EXTRA_ARGS...]
 set -e
@@ -28,7 +30,7 @@ exec timeout "$T" python -u -m eigen_lstm_tpu.cli train \
   --hidden 1024 --layers 3 --batch 128 --seq 256 \
   --dtype bfloat16 --backend pallas --stream-data --dropout 0.2 \
   --steps 2000000 --superstep 50 --log-every 2500 \
-  --lr 0.0075 --warmup 0 \
+  --lr 0.0075 --warmup 0 --clip-norm 2.0 \
   --eval-every-s 600 --eval-chars 250000 --sample-chars 2000 \
   --keep-snapshots \
   --ckpt-dir artifacts/flagship_full_boost15 \

@@ -11,6 +11,8 @@
 #       artifacts/flagship_full_swa/ckpt_step*.npz --last K
 #   python -m eigen_lstm_tpu.cli eval ... (same footing as the arm's evals)
 #
+# --clip-norm 2.0 matches the parent arm (gradient-spike incident,
+# NORTHSTAR.md round 5); without it one bad batch poisons Adagrad.
 # Launch ONLY once flagship_full has plateaued (NORTHSTAR.md round-5 table).
 # Usage: scripts/flagship_full_swa.sh [TIMEOUT_S] [EXTRA_ARGS...]
 set -e
@@ -30,7 +32,8 @@ exec timeout "$T" python -u -m eigen_lstm_tpu.cli train \
   --hidden 1024 --layers 3 --batch 128 --seq 256 \
   --dtype bfloat16 --backend pallas --stream-data --dropout 0.2 \
   --steps 2000000 --superstep 50 --log-every 2500 \
-  --lr 0.005 --warmup 0 --lr-cycle-steps 3000 --lr-cycle-min-frac 0.1 \
+  --lr 0.005 --warmup 0 --clip-norm 2.0 \
+  --lr-cycle-steps 3000 --lr-cycle-min-frac 0.1 \
   --eval-every-s 600 --eval-chars 250000 --sample-chars 2000 \
   --keep-snapshots \
   --ckpt-dir artifacts/flagship_full_swa \
